@@ -1,0 +1,198 @@
+"""Batched multi-world simulation: N identical worlds stepped in parallel.
+
+The analog of the reference's ``GPUSimulation`` (flygym
+``warp/simulation.py``): every state array gains a leading ``n_worlds`` axis
+and all getters/setters operate on ``(n_worlds, ...)`` data. Where the
+reference marshals CPU structs into MuJoCo-Warp and launches CUDA
+gather/scatter kernels per readout (``warp/simulation.py:73-258``,
+``warp/utils.py:6-152``), here the whole step is one ``jax.vmap`` of the pure
+step function and readouts are XLA gathers — no custom kernels needed, and the
+same code shards across TPU meshes by passing ``mesh=`` (worlds are
+embarrassingly parallel; the sharding rides ICI with zero collectives in the
+step itself).
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flygym_tpu.compose.fly import ActuatorType
+from flygym_tpu.compose.world import BaseWorld
+from flygym_tpu.engine.step import step as engine_step
+from flygym_tpu.simulation import Simulation
+from flygym_tpu.utils.profiling import print_perf_report_parallel
+
+__all__ = ["BatchSimulation"]
+
+
+class BatchSimulation(Simulation):
+    """N worlds, one compiled model, vmapped stepping.
+
+    Args:
+        world: A fully configured world with at least one fly.
+        n_worlds: Number of parallel worlds.
+        mesh: Optional ``jax.sharding.Mesh`` to shard the world axis across
+            devices. The mesh must have a ``world_axis`` axis; ``n_worlds``
+            must be divisible by its size.
+        world_axis: Name of the mesh axis to shard worlds over.
+    """
+
+    def __init__(
+        self,
+        world: BaseWorld,
+        n_worlds: int,
+        *,
+        mesh: Mesh | None = None,
+        world_axis: str = "world",
+    ) -> None:
+        super().__init__(world)
+        self.n_worlds = int(n_worlds)
+        self._mesh = mesh
+        self._world_axis = world_axis
+
+        if mesh is not None:
+            if n_worlds % mesh.shape[world_axis] != 0:
+                raise ValueError(
+                    f"n_worlds={n_worlds} not divisible by mesh axis "
+                    f"'{world_axis}' of size {mesh.shape[world_axis]}"
+                )
+            self._state_sharding = jax.tree.map(
+                lambda _: NamedSharding(mesh, P(world_axis)), self._initial_state
+            )
+            self._model_sharding = jax.tree.map(
+                lambda _: NamedSharding(mesh, P()), self.model
+            )
+            self.model = jax.device_put(self.model, self._model_sharding)
+        else:
+            self._state_sharding = None
+
+        self._initial_batch_state = self._broadcast(self._initial_state)
+        self.state = self._initial_batch_state
+
+        vstep = jax.vmap(engine_step, in_axes=(None, 0))
+        if mesh is not None:
+            self._jit_step = jax.jit(
+                vstep, in_shardings=(self._model_sharding, self._state_sharding),
+                out_shardings=self._state_sharding,
+            )
+        else:
+            self._jit_step = jax.jit(vstep)
+
+    def _broadcast(self, state):
+        batched = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.n_worlds,) + x.shape), state
+        )
+        if self._state_sharding is not None:
+            batched = jax.device_put(batched, self._state_sharding)
+        return batched
+
+    def reset(self) -> None:
+        """Reset all worlds to the neutral keyframe."""
+        self.state = self._initial_batch_state
+        if self.renderer is not None:
+            self.renderer.reset()
+        self._curr_step = 0
+        self._frames_rendered = 0
+        self._total_physics_time_ns = 0
+        self._total_render_time_ns = 0
+
+    # ------------------------------------------------------------------
+    # Batched control input: accepts (n,) broadcast or (n_worlds, n).
+    # ------------------------------------------------------------------
+
+    def _set_ctrl(self, ids, values) -> None:
+        values = jnp.asarray(values, jnp.float32)
+        if values.ndim == 1:
+            values = jnp.broadcast_to(values, (self.n_worlds, values.shape[0]))
+        self.state = dataclasses.replace(
+            self.state, ctrl=self.state.ctrl.at[:, ids].set(values)
+        )
+
+    # ------------------------------------------------------------------
+    # Batched readouts: (n_worlds, ...) arrays (kept on device as jnp, like
+    # the reference returns wp arrays, warp/simulation.py:73-211).
+    # ------------------------------------------------------------------
+
+    def get_joint_angles(self, fly_name: str):
+        return self.state.qpos[:, self._qpos_adrs[fly_name]]
+
+    def get_joint_velocities(self, fly_name: str):
+        return self.state.qvel[:, self._qvel_adrs[fly_name]]
+
+    def get_body_positions(self, fly_name: str):
+        return self.state.xpos[:, self._body_ids[fly_name]]
+
+    def get_body_rotations(self, fly_name: str):
+        return self.state.xquat[:, self._body_ids[fly_name]]
+
+    def get_actuator_forces(self, fly_name: str, actuator_type: ActuatorType):
+        actuator_type = ActuatorType(actuator_type)
+        ids = self._act_ids_by_type[actuator_type][fly_name]
+        return self.state.actuator_force[:, ids]
+
+    def get_site_positions(self, fly_name: str):
+        return self.state.site_xpos[:, self._site_ids[fly_name]]
+
+    def get_ground_contact_info(self, fly_name: str) -> tuple:
+        slots = self._sensor_slots[fly_name]
+        data = self.state.contact_sensordata[:, slots]
+        return (
+            data[..., 0],
+            data[..., 1:4],
+            data[..., 4:7],
+            data[..., 7:10],
+            data[..., 10:13],
+            data[..., 13:16],
+        )
+
+    # ------------------------------------------------------------------
+    # Whole-episode rollout (the perf path)
+    # ------------------------------------------------------------------
+
+    def rollout(self, ctrl_sequence, n_steps: int):
+        """Scan ``n_steps`` for all worlds in one XLA program.
+
+        Args:
+            ctrl_sequence: (n_steps, n_worlds, nu) in model order, or None.
+
+        Returns:
+            (n_steps, n_worlds, nq) qpos trajectory (device array).
+        """
+        from flygym_tpu.engine.step import rollout_batched
+
+        if ctrl_sequence is None:
+            ctrl_sequence = jnp.full(
+                (n_steps, self.n_worlds, self.model.nu), jnp.nan, jnp.float32
+            )
+        self.state, traj = rollout_batched(
+            self.model, self.state, jnp.asarray(ctrl_sequence), n_steps
+        )
+        self._curr_step += n_steps
+        return traj
+
+    @property
+    def time(self) -> float:
+        """Simulation time of world 0, in seconds."""
+        return float(self.state.time[0])
+
+    def print_performance_report(self, show_in_notebook="auto") -> None:
+        """Parallel performance report (aggregate columns ×n_worlds)."""
+        n_worlds_rendered = (
+            len(getattr(self.renderer, "world_ids", []))
+            if self.renderer is not None
+            else 0
+        )
+        print_perf_report_parallel(
+            n_steps=self._curr_step,
+            n_frames_rendered=self._frames_rendered,
+            total_physics_time_ns=self._total_physics_time_ns,
+            total_render_time_ns=self._total_render_time_ns,
+            timestep=self.timestep,
+            n_worlds=self.n_worlds,
+            n_worlds_rendered=n_worlds_rendered,
+            show_in_notebook=show_in_notebook,
+        )

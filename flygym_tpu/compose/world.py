@@ -1,0 +1,240 @@
+"""Worlds: environments that flies attach to.
+
+Parity reference: flygym ``compose/world.py`` (BaseWorld :22-207,
+FlatGroundWorld :210-331, TetheredWorld :334-366).
+
+TPU-first difference: ``TetheredWorld`` rigidly fixes the fly root at the
+spawn pose instead of adding a free joint + a very stiff soft weld
+(``world.py:358-365``) — the hard weld removes 6 DoFs and the stiffest
+constraint in the model while being behaviorally equivalent at the reference's
+solref of 2e-4 s.
+"""
+
+from collections import defaultdict
+from typing import Any
+
+from flygym_tpu.anatomy import LEG_LINKS, BodySegment, ContactBodiesPreset
+from flygym_tpu.compose.base import BaseCompositionElement
+from flygym_tpu.compose.fly import Fly
+from flygym_tpu.compose.physics import ContactParams
+from flygym_tpu.compose.spec import (
+    ContactSensorSpec,
+    GeomSpec,
+    ModelSpec,
+    PairSpec,
+)
+from flygym_tpu.utils.math import Rotation3D, Vec3
+
+__all__ = ["BaseWorld", "FlatGroundWorld", "TetheredWorld"]
+
+
+class BaseWorld(BaseCompositionElement):
+    """Base class for worlds. A world owns environmental features (ground) and
+    defines how flies attach (free-floating, tethered). Multiple flies may be
+    added and can interact with the same ground.
+
+    Attributes:
+        fly_lookup: Maps fly names to their :class:`Fly` objects.
+        world_dof_neutral_states: Neutral values of world-managed DoFs (e.g.
+            fly spawn free joints), keyed by joint full identifier.
+    """
+
+    def __init__(self, name: str) -> None:
+        self._spec = ModelSpec(name)
+        self._fly_lookup: dict[str, Fly] = {}
+        self.world_dof_neutral_states: dict[str, list[float]] = {}
+        self.legpos_to_groundcontactsensors_by_fly = None
+
+    @property
+    def spec(self) -> ModelSpec:
+        return self._spec
+
+    @property
+    def name(self) -> str:
+        return self._spec.name
+
+    @property
+    def fly_lookup(self) -> dict[str, Fly]:
+        """Lookup for :class:`Fly` objects in the world, keyed by fly name."""
+        return self._fly_lookup
+
+    def _attach_fly(
+        self,
+        fly: Fly,
+        spawn_position: Vec3,
+        spawn_rotation: Rotation3D,
+        *args,
+        **kwargs,
+    ):
+        """Attach the fly's spec to the world spec. Implemented by concrete
+        worlds; must return the created free JointSpec (or None if the fly is
+        rigidly attached)."""
+        raise NotImplementedError
+
+    def add_fly(
+        self,
+        fly: Fly,
+        spawn_position: Vec3,
+        spawn_rotation: Rotation3D,
+        *args: Any,
+        **kwargs: Any,
+    ) -> None:
+        """Attach a fly to the world at the given pose (``world.py:95-149``).
+
+        Args:
+            fly: The fly to add.
+            spawn_position: Initial (x, y, z) position in mm.
+            spawn_rotation: Initial orientation (quaternion format required).
+            *args, **kwargs: Forwarded to the world-specific attach.
+        """
+        if fly.name in self._fly_lookup:
+            raise ValueError(
+                f"Fly with name '{fly.name}' already exists in the world."
+            )
+        if spawn_rotation.format != "quat":
+            raise ValueError(
+                "Freejoint neutral rotation can only be specified in quaternion "
+                f"format for now. Got {spawn_rotation}."
+            )
+        self._fly_lookup[fly.name] = fly
+
+        freejoint = self._attach_fly(
+            fly, spawn_position, spawn_rotation, *args, **kwargs
+        )
+        if freejoint is not None:
+            self.world_dof_neutral_states[freejoint.full_identifier] = [
+                *spawn_position,
+                *spawn_rotation.values,
+            ]
+
+
+class FlatGroundWorld(BaseWorld):
+    """World with a flat infinite ground plane; flies move freely.
+
+    ``add_fly`` accepts the extra keyword arguments of the reference
+    (``world.py:213-221``): ``bodysegs_with_ground_contact``,
+    ``ground_contact_params``, ``add_ground_contact_sensors``.
+
+    Args:
+        name: Name of the world.
+        half_size: Half-size of the ground plane in mm.
+    """
+
+    def __init__(
+        self, name: str = "flat_ground_world", *, half_size: float = 1000
+    ) -> None:
+        super().__init__(name=name)
+        self.ground_geom = GeomSpec(
+            name="ground_plane",
+            type="plane",
+            size=(half_size, half_size, 1.0),
+            rgba=(0.35, 0.35, 0.35, 1.0),
+            material="grid",
+        )
+        self._spec.world_geoms.append(self.ground_geom)
+        self.legpos_to_groundcontactsensors_by_fly = None
+
+    def _attach_fly(
+        self,
+        fly: Fly,
+        spawn_position: Vec3,
+        spawn_rotation: Rotation3D,
+        *,
+        bodysegs_with_ground_contact: (
+            "list[BodySegment] | ContactBodiesPreset | str"
+        ) = ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD,
+        ground_contact_params: ContactParams = ContactParams(),
+        add_ground_contact_sensors: bool = True,
+    ):
+        freejoint = self._spec.attach(
+            fly.spec,
+            prefix=fly.name,
+            spawn_pos=tuple(spawn_position),
+            spawn_quat=tuple(spawn_rotation.values),
+            free_joint_name=fly.name,
+        )
+
+        if isinstance(bodysegs_with_ground_contact, (ContactBodiesPreset, str)):
+            preset = ContactBodiesPreset(bodysegs_with_ground_contact)
+            bodysegs_with_ground_contact = preset.to_body_segments_list()
+
+        self._set_ground_contact(
+            fly, bodysegs_with_ground_contact, ground_contact_params
+        )
+        if add_ground_contact_sensors:
+            self._add_ground_contact_sensors(fly, bodysegs_with_ground_contact)
+        return freejoint
+
+    def _set_ground_contact(
+        self,
+        fly: Fly,
+        bodysegs_with_ground_contact: list[BodySegment],
+        params: ContactParams,
+    ) -> None:
+        """Explicit per-segment contact pairs vs the ground
+        (``world.py:292-309``)."""
+        friction = params.get_friction_tuple()
+        solref = params.get_solref_tuple()
+        solimp = params.get_solimp_full_tuple()
+        for segment in bodysegs_with_ground_contact:
+            geom = fly.bodyseg_to_specgeom[segment]
+            self._spec.pairs.append(
+                PairSpec(
+                    geom1=geom.full_identifier,
+                    geom2=self.ground_geom.full_identifier,
+                    name=f"{segment.name}-ground",
+                    friction=friction,
+                    solref=solref,
+                    solimp=solimp,
+                    margin=params.margin,
+                )
+            )
+
+    def _add_ground_contact_sensors(
+        self, fly: Fly, bodysegs_with_ground_contact: list[BodySegment]
+    ) -> None:
+        """Per-leg netforce contact sensors rooted at the proximal-most
+        contact segment of each leg (``world.py:311-331``)."""
+        if self.legpos_to_groundcontactsensors_by_fly is None:
+            self.legpos_to_groundcontactsensors_by_fly = defaultdict(dict)
+        contact_segs_by_leg = defaultdict(list)
+        for seg in bodysegs_with_ground_contact:
+            if seg.is_leg():
+                contact_segs_by_leg[seg.pos].append(seg)
+        for leg in fly.get_legs_order():
+            segs = contact_segs_by_leg.get(leg)
+            if not segs:
+                continue
+            subtree_root = _sort_legsegs_prox2dist(segs)[0]
+            sensor = ContactSensorSpec(
+                name=f"ground_contact_{leg}_leg",
+                subtree_body=fly.bodyseg_to_specbody[subtree_root].full_identifier,
+                geom2=self.ground_geom.full_identifier,
+            )
+            self._spec.contact_sensors.append(sensor)
+            self.legpos_to_groundcontactsensors_by_fly[fly.name][leg] = sensor
+
+
+class TetheredWorld(BaseWorld):
+    """World where the fly body is rigidly fixed in space; appendages move.
+
+    Useful for motor control experiments without locomotion
+    (``world.py:334-366``).
+    """
+
+    def __init__(self, name: str = "tethered_world") -> None:
+        super().__init__(name=name)
+
+    def _attach_fly(self, fly, spawn_position: Vec3, spawn_rotation: Rotation3D):
+        self._spec.attach(
+            fly.spec,
+            prefix=fly.name,
+            spawn_pos=tuple(spawn_position),
+            spawn_quat=tuple(spawn_rotation.values),
+            free_joint_name=None,  # hard weld: no root DoFs
+        )
+        return None
+
+
+def _sort_legsegs_prox2dist(segments: list[BodySegment]) -> list[BodySegment]:
+    return sorted(segments, key=lambda seg: LEG_LINKS.index(seg.link))

@@ -1,0 +1,173 @@
+"""The full physics step: one pure, jittable function.
+
+Pipeline (the analog of ``mj_step``, reference ``simulation.py:74-76``):
+FK → motion subspaces → velocities → spatial inertias → CRBA mass matrix →
+RNEA bias → passive + actuator forces → smooth acceleration → contact solve →
+semi-implicit Euler integration with implicit joint damping (MuJoCo "Euler"
+integrator semantics, ``mujoco_globals.yaml:13``).
+
+State caches (xpos, sensors, ...) correspond to the *pre-integration*
+configuration, exactly like ``MjData`` after ``mj_step`` — so readouts after
+``step()`` match the reference's semantics.
+
+Everything is shape-static: ``vmap`` for world batching, ``lax.scan`` for
+whole episodes on device (the TPU answer to the reference's CUDA-graph capture
+loop, ``time_gpu_simulation.py:137-153``).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from flygym_tpu.engine import actuation, contact, dynamics, sensors
+from flygym_tpu.engine.kinematics import (
+    dof_subspace,
+    geom_poses,
+    kinematics_full,
+    velocity_pass,
+)
+from flygym_tpu.engine.maths import quat_integrate
+from flygym_tpu.engine.model import ActKind, PhysicsModel, State, compute_site_xpos
+
+__all__ = ["step", "make_step_fn", "rollout"]
+
+
+def step(model: PhysicsModel, state: State) -> State:
+    """Advance one timestep. Pure function of (model, state)."""
+    dt = model.timestep
+    qpos, qvel, ctrl = state.qpos, state.qvel, state.ctrl
+    dtype = qpos.dtype
+
+    # ---- position stage ----
+    xpos, xquat, hinge_xaxis = kinematics_full(model, qpos)
+    ref = xpos[model.ref_body]
+    S = dof_subspace(model, xpos, hinge_xaxis, ref)
+    gpos, gquat = geom_poses(model, xpos, xquat)
+
+    # ---- velocity stage ----
+    cvel, cacc_bias = velocity_pass(model, qvel, xpos, S)
+
+    # ---- inertia / bias ----
+    I_body = dynamics.body_spatial_inertias(model, xpos, xquat, ref)
+    M = dynamics.crba(model, I_body, S)
+    qfrc_bias = dynamics.rnea_bias(model, I_body, S, cvel, cacc_bias)
+
+    # ---- forces ----
+    qfrc_passive = dynamics.passive_forces(model, qpos, qvel)
+    qfrc_act, actuator_force = actuation.actuator_forces(
+        model, qpos, qvel, ctrl, state.act
+    )
+    qfrc_smooth = qfrc_passive + qfrc_act - qfrc_bias
+
+    # Implicit joint damping: solve (M + h diag(B)) a = f  (MuJoCo Euler).
+    Mh = M + dt * jnp.diag(model.dof_damping)
+    chol = jax.scipy.linalg.cho_factor(Mh)
+    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+
+    # ---- contacts ----
+    qacc, con_info = contact.solve_contacts(
+        model, chol, qacc_smooth, qvel, xpos, S, gpos, gquat, ctrl, ref
+    )
+
+    # ---- integrate ----
+    qvel_new = qvel + dt * qacc
+    qpos_new = _integrate_qpos(model, qpos, qvel_new, dt)
+    act_new = actuation.integrate_act(model, state.act, ctrl, dt)
+
+    # ---- cached outputs (pre-integration configuration) ----
+    site_xpos = compute_site_xpos(model, xpos, xquat)
+    sensordata = sensors.contact_sensor_data(model, con_info)
+    if con_info is not None and model.nu:
+        # Realized adhesion force per adhesion actuator (sum of attraction).
+        adh_idx = jnp.maximum(con_info.adh_act, 0)
+        pull = jnp.where(
+            (con_info.adh_act >= 0) & con_info.active,
+            jnp.minimum(con_info.force_frame[:, 0], 0.0),
+            0.0,
+        )
+        adh_force = jnp.zeros((model.nu,), dtype).at[adh_idx].add(pull)
+        actuator_force = jnp.where(
+            model.act_kind == ActKind.ADHESION, -adh_force, actuator_force
+        )
+
+    return State(
+        qpos=qpos_new,
+        qvel=qvel_new,
+        ctrl=ctrl,
+        act=act_new,
+        time=state.time + dt,
+        xpos=xpos,
+        xquat=xquat,
+        site_xpos=site_xpos,
+        actuator_force=actuator_force,
+        contact_sensordata=sensordata,
+    )
+
+
+def _integrate_qpos(model: PhysicsModel, qpos, qvel, dt):
+    """Semi-implicit Euler position update (quaternion-exact for free roots)."""
+    qpos_new = qpos
+    if model.nhinge:
+        adr = model.hinge_qadr
+        qpos_new = qpos_new.at[adr].add(dt * qvel[model.hinge_vadr])
+    for _body, qadr, vadr in model.free_joints:
+        pos = qpos[qadr : qadr + 3] + dt * qvel[vadr : vadr + 3]
+        quat = quat_integrate(
+            qpos[qadr + 3 : qadr + 7], qvel[vadr + 3 : vadr + 6], dt
+        )
+        qpos_new = qpos_new.at[qadr : qadr + 3].set(pos)
+        qpos_new = qpos_new.at[qadr + 3 : qadr + 7].set(quat)
+    return qpos_new
+
+
+def make_step_fn(model: PhysicsModel, donate: bool = True):
+    """A jitted single-world step function closed over the model."""
+    fn = partial(step, model)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def rollout(model: PhysicsModel, state: State, ctrl_seq: jnp.ndarray, n_steps: int):
+    """Scan a whole episode on device: the TPU equivalent of the reference's
+    CUDA-graph replay loop (``time_gpu_simulation.py:137-153``).
+
+    Args:
+        ctrl_seq: (n_steps, nu) control inputs per step (ignored slots keep the
+            previous ctrl if NaN).
+
+    Returns:
+        (final_state, stacked qpos trajectory (n_steps, nq)).
+    """
+
+    import dataclasses
+
+    def body(carry, ctrl_t):
+        ctrl = jnp.where(jnp.isnan(ctrl_t), carry.ctrl, ctrl_t)
+        new = step(model, dataclasses.replace(carry, ctrl=ctrl))
+        return new, new.qpos
+
+    final, traj = jax.lax.scan(body, state, ctrl_seq, length=n_steps)
+    return final, traj
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def rollout_batched(
+    model: PhysicsModel, state: State, ctrl_seq: jnp.ndarray, n_steps: int
+):
+    """Batched episode scan: state has a leading world axis, ``ctrl_seq`` is
+    (n_steps, n_worlds, nu). One XLA program for the whole episode across all
+    worlds — the direct analog of the benchmark's captured CUDA graph replay
+    (``time_gpu_simulation.py:148-153``), with the step table lookup fused in.
+    """
+    import dataclasses
+
+    vstep = jax.vmap(step, in_axes=(None, 0))
+
+    def body(carry, ctrl_t):
+        ctrl = jnp.where(jnp.isnan(ctrl_t), carry.ctrl, ctrl_t)
+        new = vstep(model, dataclasses.replace(carry, ctrl=ctrl))
+        return new, new.qpos
+
+    final, traj = jax.lax.scan(body, state, ctrl_seq, length=n_steps)
+    return final, traj

@@ -1,0 +1,193 @@
+"""Performance reporting: tabulated wall-clock breakdowns.
+
+Parity reference: flygym ``utils/profiling.py`` (single-world :9-115, parallel
+:118-241, environment detection :244-260). Same report surface — time/step,
+percent, throughput, realtime factor, with parallel aggregate columns — on top
+of the TPU runtime's timing counters.
+"""
+
+import textwrap
+from typing import Literal
+
+from tabulate import tabulate
+
+__all__ = ["print_perf_report", "print_perf_report_parallel", "check_environment"]
+
+
+def _stage_rows(total_physics_ns, total_render_ns, n_steps, n_frames, timestep):
+    total_ns = total_physics_ns + total_render_ns
+    physics = _stage_stats(total_physics_ns, total_ns, n_steps, timestep)
+    total = _stage_stats(total_ns, total_ns, n_steps, timestep)
+    if n_frames == 0:
+        render = (float("nan"),) * 4
+        per_frame_us = float("nan")
+    else:
+        render = _stage_stats(total_render_ns, total_ns, n_steps, timestep)
+        per_frame_us = 1e-3 * total_render_ns / n_frames
+    return physics, render, total, per_frame_us
+
+
+def _stage_stats(stage_ns, total_ns, n_steps, timestep):
+    per_iter_us = 1e-3 * stage_ns / n_steps
+    percent = 100 * stage_ns / total_ns if total_ns else float("nan")
+    throughput = 1e9 * n_steps / stage_ns if stage_ns else float("inf")
+    realtime_x = throughput * timestep
+    return per_iter_us, percent, throughput, realtime_x
+
+
+def _emit(table, headers, floatfmt, rendering_note, show_in_notebook):
+    tab_str = tabulate(
+        table,
+        headers=headers,
+        floatfmt=floatfmt,
+        tablefmt="html" if show_in_notebook else "simple_grid",
+    )
+    if show_in_notebook:
+        from IPython.display import HTML, display
+
+        print("PERFORMANCE PROFILE")
+        display(HTML(tab_str))
+        print(rendering_note)
+    else:
+        tab_width = max(len(line) for line in tab_str.splitlines())
+        print()
+        print("PERFORMANCE PROFILE".center(tab_width))
+        print(tab_str)
+        print(textwrap.fill(rendering_note, width=tab_width))
+        print()
+
+
+def _render_note(n_frames, n_steps, per_frame_us):
+    if n_frames == 0:
+        return "* Note: No frames were rendered."
+    return (
+        f"* Note: {n_frames} frames were rendered out of {n_steps} steps. "
+        f"Therefore, rendering time per image is {per_frame_us:.0f} us."
+    )
+
+
+def print_perf_report(
+    total_physics_time_ns: int,
+    total_render_time_ns: int,
+    n_steps: int,
+    n_frames_rendered: int,
+    timestep: float,
+    show_in_notebook: bool | Literal["auto"] = "auto",
+) -> None:
+    """Print a single-world performance report.
+
+    Args:
+        total_physics_time_ns: Wall-clock spent in physics steps (ns).
+        total_render_time_ns: Wall-clock spent rendering (ns).
+        n_steps: Number of physics steps taken.
+        n_frames_rendered: Number of frames rendered.
+        timestep: Simulation timestep (s).
+        show_in_notebook: Render as an HTML table ("auto" = detect Jupyter).
+    """
+    if show_in_notebook == "auto":
+        show_in_notebook = check_environment() == "notebook"
+    if n_steps == 0:
+        raise ValueError("n_steps must be > 0 to print performance report.")
+
+    physics, render, total, per_frame_us = _stage_rows(
+        total_physics_time_ns, total_render_time_ns, n_steps, n_frames_rendered,
+        timestep,
+    )
+    table = [
+        ["Physics simulation advancement", *physics],
+        ["Rendering*", *render],
+        ["TOTAL", *total],
+    ]
+    headers = [
+        "\nStage",
+        "Time/step\n(us)",
+        "Percent\n(%)",
+        "Throughput\n(iters/s)",
+        "Throughput\nx realtime",
+    ]
+    _emit(
+        table,
+        headers,
+        ("s", ".0f", ".0f", ".0f", ".2f"),
+        _render_note(n_frames_rendered, n_steps, per_frame_us),
+        show_in_notebook,
+    )
+
+
+def print_perf_report_parallel(
+    total_physics_time_ns: int,
+    total_render_time_ns: int,
+    n_steps: int,
+    n_frames_rendered: int,
+    timestep: float,
+    n_worlds: int,
+    n_worlds_rendered: int,
+    show_in_notebook: bool | Literal["auto"] = "auto",
+) -> None:
+    """Print a multi-world performance report with aggregate columns.
+
+    Note: profiling a ``rollout`` (whole episode in one XLA program) cannot be
+    broken down per stage — the analog of the reference's hint that profiling
+    is incompatible with CUDA-graph capture (``profiling.py:145-151``).
+    """
+    if show_in_notebook == "auto":
+        show_in_notebook = check_environment() == "notebook"
+    if n_steps == 0:
+        raise ValueError(
+            "n_steps must be > 0 to print performance report. "
+            "Hint: Did you run the whole episode inside a single jitted "
+            "rollout? If so, per-stage profiling cannot be meaningfully done; "
+            "time the rollout call instead."
+        )
+
+    physics, render, total, per_frame_us = _stage_rows(
+        total_physics_time_ns, total_render_time_ns, n_steps, n_frames_rendered,
+        timestep,
+    )
+    table = [
+        [
+            "Physics simulation advancement",
+            *physics,
+            physics[2] * n_worlds,
+            physics[3] * n_worlds,
+        ],
+        [
+            "Rendering*",
+            *render,
+            render[2] * n_worlds_rendered,
+            render[3] * n_worlds_rendered,
+        ],
+        ["TOTAL", *total, total[2] * n_worlds, total[3] * n_worlds],
+    ]
+    headers = [
+        "\nStage",
+        "Time/step\n(us)",
+        "Percent\n(%)",
+        "Throughput\n(iters/s)",
+        "Throughput\nx realtime",
+        "Throughput\n(iters/s)\n(parallelized)",
+        "Throughput\nx realtime\n(parallelized)",
+    ]
+    _emit(
+        table,
+        headers,
+        ("s", ".0f", ".0f", ".0f", ".2f", ".0f", ".2f"),
+        _render_note(n_frames_rendered, n_steps, per_frame_us),
+        show_in_notebook,
+    )
+
+
+def check_environment() -> str:
+    """Detect the execution environment: "notebook", "terminal", "other", or
+    "standard_python"."""
+    try:
+        from IPython import get_ipython
+
+        shell = get_ipython().__class__.__name__
+        if shell == "ZMQInteractiveShell":
+            return "notebook"
+        if shell == "TerminalInteractiveShell":
+            return "terminal"
+        return "other"
+    except (NameError, ImportError, AttributeError):
+        return "standard_python"

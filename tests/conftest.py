@@ -5,14 +5,22 @@ sharding paths are exercised without TPU hardware (the same strategy the
 reference uses to keep GPU-required tests out of CI — flygym
 ``.github/workflows/tests.yml:9-33`` runs core tests CPU-only).
 
-This must run before jax is imported anywhere.
+This must run before any jax computation. Note the environment may inject a
+TPU backend via sitecustomize (axon); we both set the env vars and force the
+platform through jax.config, which wins as long as no backend has been
+initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

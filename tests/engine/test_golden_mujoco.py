@@ -1,0 +1,209 @@
+"""Golden-trajectory cross-validation against MuJoCo.
+
+The compiled model is exported as MJCF (capsule geoms + explicit inertials)
+and stepped by MuJoCo side by side with the TPU engine. This is the
+north-star acceptance gate: "matching MuJoCo reference contact trajectories"
+(BASELINE.json), and mirrors the reference's batched-vs-single cross-check
+strategy (flygym ``tests/warp/test_simulation.py:239-251``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+mujoco = pytest.importorskip("mujoco")
+
+from flygym_tpu.anatomy import (
+    ActuatedDOFPreset,
+    AxisOrder,
+    JointPreset,
+    Skeleton,
+)
+from flygym_tpu.compose import (
+    ActuatorType,
+    Fly,
+    FlatGroundWorld,
+    KinematicPosePreset,
+    TetheredWorld,
+)
+from flygym_tpu.compose.spec import BodySpec, GeomSpec, JointSpec, ModelSpec, PairSpec
+from flygym_tpu.engine.model import make_initial_state
+from flygym_tpu.engine.step import step
+from flygym_tpu.utils.math import Rotation3D
+
+
+def _mujoco_from(world_or_spec):
+    spec = getattr(world_or_spec, "spec", world_or_spec)
+    m = mujoco.MjModel.from_xml_string(spec.to_mjcf_xml())
+    d = mujoco.MjData(m)
+    mujoco.mj_resetDataKeyframe(m, d, 0)
+    return m, d
+
+
+# ---------------------------------------------------------------------------
+# Minimal primitive: capsule dropping on the ground plane
+# ---------------------------------------------------------------------------
+
+
+class TestCapsuleDrop:
+    @pytest.fixture(scope="class")
+    def spec(self):
+        spec = ModelSpec("ball_world")
+        spec.world_geoms.append(
+            GeomSpec(name="ground", type="plane", size=(100.0, 100.0, 1.0))
+        )
+        body = BodySpec(name="ball", parent=None)
+        body.add_joint(JointSpec(name="ballfree", type="free"))
+        body.add_geom(
+            GeomSpec(name="ballgeom", type="capsule", size=(0.5, 0.3), mass=1e-3)
+        )
+        spec.add_body(body)
+        spec.pairs.append(
+            PairSpec(
+                geom1="ballgeom",
+                geom2="ground",
+                friction=(1.0, 1.0, 0.02, 1e-4, 1e-4),
+                solref=(2e-4, 1.0),
+                solimp=(0.98, 0.99, 1e-5, 0.5, 3.0),
+                margin=1e-3,
+            )
+        )
+        spec.neutral_joint_qpos["ballfree"] = [0, 0, 2.0, 1, 0, 0, 0]
+        return spec
+
+    def test_freefall_and_rest_height(self, spec):
+        compiled = spec.compile()
+        state = make_initial_state(compiled.model)
+        jstep = jax.jit(step)
+        m, d = _mujoco_from(spec)
+        zs_me, zs_mj = [], []
+        for _ in range(1200):
+            state = jstep(compiled.model, state)
+            mujoco.mj_step(m, d)
+            zs_me.append(float(state.qpos[2]))
+            zs_mj.append(float(d.qpos[2]))
+        zs_me, zs_mj = np.array(zs_me), np.array(zs_mj)
+        # Free-fall phase matches tightly; rest height within 1e-3 mm.
+        assert np.abs(zs_me[:500] - zs_mj[:500]).max() < 1e-3
+        assert abs(zs_me[-1] - zs_mj[-1]) < 1e-3
+        # Rest height ≈ radius + halflen + margin.
+        assert abs(zs_me[-1] - 0.801) < 5e-3
+
+
+# ---------------------------------------------------------------------------
+# Full fly model
+# ---------------------------------------------------------------------------
+
+
+def _build_fly():
+    fly = Fly()
+    skeleton = Skeleton(
+        axis_order=AxisOrder.YAW_PITCH_ROLL, joint_preset=JointPreset.LEGS_ONLY
+    )
+    fly.add_joints(skeleton, neutral_pose=KinematicPosePreset.NEUTRAL)
+    return fly
+
+
+@pytest.fixture(scope="module")
+def tethered_world():
+    fly = _build_fly()
+    world = TetheredWorld()
+    world.add_fly(fly, (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+    return fly, world
+
+
+@pytest.fixture(scope="module")
+def flat_world():
+    fly = _build_fly()
+    dofs = fly.skeleton.get_actuated_dofs_from_preset(
+        ActuatedDOFPreset.LEGS_ACTIVE_ONLY
+    )
+    fly.add_actuators(
+        dofs,
+        ActuatorType.POSITION,
+        kp=50.0,
+        neutral_input=KinematicPosePreset.NEUTRAL,
+    )
+    fly.add_leg_adhesion()
+    world = FlatGroundWorld()
+    world.add_fly(fly, (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+    return fly, world
+
+
+class TestFlyGolden:
+    def test_fk_matches_mujoco(self, tethered_world):
+        _fly, world = tethered_world
+        model, state = world.compile()
+        m, d = _mujoco_from(world)
+        mujoco.mj_forward(m, d)
+        id2name = {v: k for k, v in world.compiled.body_name2id.items()}
+        for bid in range(1, model.nbody):
+            mj_bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, id2name[bid])
+            assert mj_bid >= 0
+            assert np.allclose(
+                np.asarray(state.xpos[bid]), d.xpos[mj_bid], atol=1e-5
+            ), id2name[bid]
+            q_me, q_mj = np.asarray(state.xquat[bid]), d.xquat[mj_bid]
+            assert min(
+                np.abs(q_me - q_mj).max(), np.abs(q_me + q_mj).max()
+            ) < 1e-5, id2name[bid]
+
+    def test_inertials_match_mujoco(self, tethered_world):
+        _fly, world = tethered_world
+        model, _state = world.compile()
+        m, _d = _mujoco_from(world)
+        id2name = {v: k for k, v in world.compiled.body_name2id.items()}
+        for bid in range(1, model.nbody):
+            mj_bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, id2name[bid])
+            assert np.isclose(
+                float(model.body_mass[bid]), m.body_mass[mj_bid], rtol=1e-5
+            )
+            assert np.allclose(
+                np.asarray(model.body_inertia[bid]),
+                m.body_inertia[mj_bid],
+                rtol=1e-4,
+                atol=1e-14,
+            )
+
+    def test_tethered_passive_dynamics_matches(self, tethered_world):
+        """Passive spring-damper swing of all 66 leg DoFs vs MuJoCo."""
+        _fly, world = tethered_world
+        model, state = world.compile()
+        m, d = _mujoco_from(world)
+        names = list(world.compiled.hinge_name2id)
+        hq_mj = np.array(
+            [
+                m.jnt_qposadr[mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, n)]
+                for n in names
+            ]
+        )
+        hq_me = np.array([world.compiled.hinge_qadr[n] for n in names])
+        jstep = jax.jit(step)
+        for _ in range(150):
+            state = jstep(model, state)
+            mujoco.mj_step(m, d)
+        err = np.abs(np.asarray(state.qpos)[hq_me] - d.qpos[hq_mj]).max()
+        assert err < 1e-4, err
+
+    def test_flat_ground_settles_like_mujoco(self, flat_world):
+        """Drop onto flat ground with position actuators + adhesion: the fly
+        must stand (all six leg sensors in contact) at a rest height within a
+        few percent of MuJoCo's."""
+        _fly, world = flat_world
+        model, state = world.compile()
+        m, d = _mujoco_from(world)
+        jstep = jax.jit(step)
+        for _ in range(1500):
+            state = jstep(model, state)
+            mujoco.mj_step(m, d)
+        z_me = float(state.qpos[2])
+        z_mj = float(d.qpos[2])
+        assert abs(z_me - z_mj) < 0.06, (z_me, z_mj)  # < 6% of body height
+        assert np.all(np.asarray(state.contact_sensordata)[:, 0] == 1.0)
+        # Total normal force supports the body weight (±20%).
+        total_fn = float(np.asarray(state.contact_sensordata)[:, 1].sum())
+        weight = float(
+            np.asarray(model.body_mass).sum() * -float(model.gravity[2])
+        )
+        assert 0.5 * weight < total_fn < 1.5 * weight
