@@ -1,0 +1,211 @@
+"""The headline benchmark: batched kinematic replay of recorded fly walking.
+
+Parity reference: flygym_demo ``benchmark/time_gpu_simulation.py``. Same
+protocol — position-actuator replay of the Spotlight clip with leg adhesion on
+flat ground, dt = 1e-4 s, world-count sweep, metrics
+``steps_per_second = sim_steps * n_worlds / walltime`` and
+``realtime_factor = steps_per_second * dt`` (``time_gpu_simulation.py:195-197``).
+
+Where the reference replays a captured CUDA graph per step
+(``time_gpu_simulation.py:137-153``), the TPU build runs the whole episode —
+per-step target-angle table lookup + step — as a single jitted ``lax.scan``,
+so there is zero host involvement inside the episode.
+"""
+
+import dataclasses
+from functools import partial
+from time import perf_counter_ns
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flygym_tpu.anatomy import (
+    ActuatedDOFPreset,
+    AxisOrder,
+    JointDOF,
+    JointPreset,
+    Skeleton,
+)
+from flygym_tpu.batch import BatchSimulation
+from flygym_tpu.compose import (
+    ActuatorType,
+    Fly,
+    FlatGroundWorld,
+    GeomFittingOption,
+    KinematicPosePreset,
+)
+from flygym_tpu.demo.spotlight import MotionSnippet
+from flygym_tpu.engine.step import step as engine_step
+from flygym_tpu.utils.math import Rotation3D
+
+__all__ = ["make_model", "ReplayTargetData", "run_simulation", "run_benchmark"]
+
+
+def make_model(
+    joints_preset=JointPreset.LEGS_ONLY,
+    actuated_dofs_preset=ActuatedDOFPreset.LEGS_ACTIVE_ONLY,
+    actuator_type=ActuatorType.POSITION,
+    position_gain=50.0,
+    neutral_pose=KinematicPosePreset.NEUTRAL,
+    spawn_position=(0, 0, 0.8),  # xyz in mm
+    spawn_rotation=Rotation3D("quat", (1, 0, 0, 0)),
+    simplify_geom=False,
+):
+    """The canonical benchmark fly + world (reference ``time_gpu_simulation.py:21-64``)."""
+    geom_fitting = (
+        GeomFittingOption.ALL_TO_CAPSULES
+        if simplify_geom
+        else GeomFittingOption.UNMODIFIED
+    )
+    fly = Fly(geom_fitting_option=geom_fitting)
+    axis_order = AxisOrder.YAW_PITCH_ROLL
+
+    skeleton = Skeleton(axis_order=axis_order, joint_preset=joints_preset)
+    fly.add_joints(skeleton, neutral_pose=neutral_pose)
+
+    actuated = fly.skeleton.get_actuated_dofs_from_preset(actuated_dofs_preset)
+    fly.add_actuators(
+        actuated,
+        actuator_type=actuator_type,
+        kp=position_gain,
+        neutral_input=neutral_pose,
+    )
+    fly.add_leg_adhesion()
+    fly.colorize()
+    cam = fly.add_tracking_camera()
+
+    world = FlatGroundWorld()
+    world.add_fly(fly, spawn_position, spawn_rotation)
+    return fly, world, cam
+
+
+class ReplayTargetData:
+    """Partition the Spotlight clip across worlds
+    (reference ``time_gpu_simulation.py:67-86``)."""
+
+    def __init__(self, sim_timestep: float, output_dof_order: list[JointDOF]):
+        self.snippet = MotionSnippet()
+        self.dof_angles = self.snippet.get_joint_angles(
+            sim_timestep, output_dof_order
+        )
+        self.n_total_steps, self.n_dofs = self.dof_angles.shape
+
+    def make_target_angles_all_worlds(
+        self, n_worlds: int, sim_steps: int
+    ) -> np.ndarray:
+        """(n_worlds, sim_steps, n_dofs): world w replays partition w mod P."""
+        out = np.zeros((n_worlds, sim_steps, self.n_dofs), np.float32)
+        n_partitions = max(self.n_total_steps // sim_steps, 1)
+        for world in range(n_worlds):
+            start = (world % n_partitions) * sim_steps
+            chunk = self.dof_angles[start : start + sim_steps]
+            out[world, : len(chunk)] = chunk
+        return out
+
+
+@partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1,))
+def _replay_episode(model, state, targets, act_ids, n_steps: int):
+    """Whole replay episode on device: per-step table lookup + vmapped step."""
+    vstep = jax.vmap(engine_step, in_axes=(None, 0))
+
+    def body(carry, t):
+        i, st = carry
+        ctrl = st.ctrl.at[:, act_ids].set(targets[:, i])
+        st = vstep(model, dataclasses.replace(st, ctrl=ctrl))
+        return (i + 1, st), None
+
+    (_, final), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.int32), state), None, length=n_steps
+    )
+    return final
+
+
+def run_simulation(
+    replay_data: np.ndarray,
+    enable_rendering: bool,
+    timestep: float,
+    simplify_geom: bool,
+    warmup_steps: int = 500,
+) -> float:
+    """Time one replay run; returns walltime in seconds
+    (reference ``time_gpu_simulation.py:108-156``)."""
+    n_worlds, n_steps, n_dofs = replay_data.shape
+
+    fly, world, cam = make_model(simplify_geom=simplify_geom)
+    sim = BatchSimulation(world, n_worlds)
+    assert sim.model.timestep == timestep
+
+    if enable_rendering:
+        sim.set_renderer(cam, playback_speed=0.2, output_fps=25)
+
+    sim.set_leg_adhesion_states(
+        fly.name, np.ones((n_worlds, 6), dtype=np.float32)
+    )
+    # Warmup: settle on the ground (on device, scanned).
+    sim.rollout(None, warmup_steps)
+
+    act_ids = jnp.asarray(
+        sim._act_ids_by_type[ActuatorType.POSITION][fly.name]
+    )
+    targets = jnp.asarray(replay_data)
+
+    # Compile outside the timed region (the reference's graph capture is also
+    # outside its timed loop).
+    final = _replay_episode(sim.model, sim.state, targets, act_ids, n_steps)
+    jax.block_until_ready(final.qpos)
+    sim.state = final
+
+    start = perf_counter_ns()
+    final = _replay_episode(sim.model, sim.state, targets, act_ids, n_steps)
+    jax.block_until_ready(final.qpos)
+    walltime_s = (perf_counter_ns() - start) / 1e9
+    sim.state = final
+
+    if enable_rendering:
+        sim.render_as_needed()
+    return walltime_s
+
+
+def run_benchmark(
+    enable_rendering: bool,
+    min_worlds: int,
+    max_worlds: int,
+    factor: int,
+    sim_timestep: float,
+    sim_steps: int,
+    simplify_geom: bool,
+):
+    """World-count sweep; returns a DataFrame with steps/s and realtime factor
+    (reference ``time_gpu_simulation.py:159-198``)."""
+    import pandas as pd
+
+    ref_fly, *_ = make_model()
+    dof_order = ref_fly.get_actuated_jointdofs_order(ActuatorType.POSITION)
+    replay = ReplayTargetData(sim_timestep, dof_order)
+
+    rows = []
+    n_worlds = min_worlds
+    while True:
+        targets = replay.make_target_angles_all_worlds(n_worlds, sim_steps)
+        try:
+            walltime = run_simulation(
+                targets, enable_rendering, sim_timestep, simplify_geom
+            )
+            print(
+                f"Simulated {sim_steps} steps * {n_worlds} worlds "
+                f"in {walltime:.2f}s"
+            )
+        except Exception as e:  # record OOM/compile failures and stop the sweep
+            print(f"Simulation failed for n_worlds={n_worlds}: {e}")
+            break
+        rows.append({"n_worlds": n_worlds, "walltime_s": walltime})
+        n_worlds *= factor
+        if n_worlds > max_worlds:
+            break
+
+    df = pd.DataFrame(rows)
+    df["steps_per_second"] = sim_steps * df["n_worlds"] / df["walltime_s"]
+    df["realtime_factor"] = df["steps_per_second"] * sim_timestep
+    df["simplify_geom"] = simplify_geom
+    return df

@@ -1,0 +1,155 @@
+"""Batched simulation tests.
+
+Modeled on flygym ``tests/warp/test_simulation.py``: batched shapes, world-0
+consistency vs single-world simulation, control inputs affecting joint angles
+— but running on the CPU backend (no special hardware needed, unlike the
+reference's GPU-required warp tests).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+import flygym_tpu
+from flygym_tpu.anatomy import (
+    ActuatedDOFPreset,
+    AxisOrder,
+    JointPreset,
+    Skeleton,
+)
+from flygym_tpu.compose import (
+    ActuatorType,
+    Fly,
+    FlatGroundWorld,
+    KinematicPosePreset,
+)
+from flygym_tpu.utils.math import Rotation3D
+
+FLY = "batchfly"
+N_WORLDS = 4
+
+
+@pytest.fixture(scope="module")
+def world():
+    fly = Fly(name=FLY)
+    skeleton = Skeleton(
+        axis_order=AxisOrder.YAW_PITCH_ROLL, joint_preset=JointPreset.LEGS_ONLY
+    )
+    fly.add_joints(skeleton, neutral_pose=KinematicPosePreset.NEUTRAL)
+    dofs = fly.skeleton.get_actuated_dofs_from_preset(
+        ActuatedDOFPreset.LEGS_ACTIVE_ONLY
+    )
+    fly.add_actuators(
+        dofs,
+        ActuatorType.POSITION,
+        kp=50.0,
+        neutral_input=KinematicPosePreset.NEUTRAL,
+    )
+    fly.add_leg_adhesion()
+    world = FlatGroundWorld()
+    world.add_fly(fly, (0, 0, 2.0), Rotation3D("quat", (1, 0, 0, 0)))
+    return world
+
+
+@pytest.fixture(scope="module")
+def bsim(world):
+    return flygym_tpu.BatchSimulation(world, N_WORLDS)
+
+
+class TestShapes:
+    def test_batched_readouts(self, bsim):
+        bsim.reset()
+        bsim.step()
+        assert bsim.get_joint_angles(FLY).shape == (N_WORLDS, 66)
+        assert bsim.get_joint_velocities(FLY).shape == (N_WORLDS, 66)
+        assert bsim.get_body_positions(FLY).shape == (N_WORLDS, 69, 3)
+        assert bsim.get_body_rotations(FLY).shape == (N_WORLDS, 69, 4)
+        found, forces, *_ = bsim.get_ground_contact_info(FLY)
+        assert found.shape == (N_WORLDS, 6)
+        assert forces.shape == (N_WORLDS, 6, 3)
+
+    def test_time_is_world0(self, bsim):
+        bsim.reset()
+        bsim.step()
+        assert bsim.time == pytest.approx(1e-4)
+
+
+class TestConsistency:
+    def test_world0_matches_single_sim(self, world, bsim):
+        """The reference's world-0 vs CPU cross-check
+        (tests/warp/test_simulation.py:239-251)."""
+        bsim.reset()
+        sim = flygym_tpu.Simulation(world)
+        ctrl = np.ones(6, np.float32)
+        bsim.set_leg_adhesion_states(FLY, np.broadcast_to(ctrl, (N_WORLDS, 6)))
+        sim.set_leg_adhesion_states(FLY, ctrl)
+        for _ in range(30):
+            bsim.step()
+            sim.step()
+        batched = np.asarray(bsim.get_joint_angles(FLY))
+        single = sim.get_joint_angles(FLY)
+        assert np.allclose(batched[0], single, atol=1e-6)
+
+    def test_identical_worlds_stay_identical(self, bsim):
+        bsim.reset()
+        for _ in range(20):
+            bsim.step()
+        angles = np.asarray(bsim.get_joint_angles(FLY))
+        for w in range(1, N_WORLDS):
+            assert np.array_equal(angles[0], angles[w])
+
+    def test_per_world_control_diverges_worlds(self, bsim):
+        bsim.reset()
+        targets = np.zeros((N_WORLDS, 42), np.float32)
+        targets[1] += 0.5  # world 1 gets different targets
+        bsim.set_actuator_inputs(FLY, ActuatorType.POSITION, targets)
+        for _ in range(50):
+            bsim.step()
+        angles = np.asarray(bsim.get_joint_angles(FLY))
+        assert not np.allclose(angles[0], angles[1], atol=1e-3)
+        assert np.allclose(angles[0], angles[2], atol=1e-6)
+
+
+class TestBatchedRollout:
+    def test_rollout_shapes_and_consistency(self, world):
+        bsim = flygym_tpu.BatchSimulation(world, 2)
+        traj = bsim.rollout(None, 25)
+        assert traj.shape == (25, 2, bsim.model.nq)
+        assert np.allclose(np.asarray(traj[:, 0]), np.asarray(traj[:, 1]))
+
+    def test_parallel_perf_report(self, bsim):
+        bsim.reset()
+        for _ in range(2):
+            bsim.step_with_profile()
+        bsim.print_performance_report(show_in_notebook=False)
+
+
+class TestSharding:
+    def test_sharded_over_virtual_mesh(self, world):
+        """Worlds shard over an 8-device CPU mesh (the multi-chip path)."""
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices (see conftest XLA_FLAGS)")
+        mesh = Mesh(np.array(devices[:8]), axis_names=("world",))
+        bsim = flygym_tpu.BatchSimulation(world, 16, mesh=mesh)
+        bsim.set_leg_adhesion_states(FLY, np.ones((16, 6), np.float32))
+        for _ in range(3):
+            bsim.step()
+        angles = np.asarray(bsim.get_joint_angles(FLY))
+        assert angles.shape == (16, 66)
+        # Sharded result identical to unsharded.
+        ref = flygym_tpu.BatchSimulation(world, 16)
+        ref.set_leg_adhesion_states(FLY, np.ones((16, 6), np.float32))
+        for _ in range(3):
+            ref.step()
+        assert np.allclose(angles, np.asarray(ref.get_joint_angles(FLY)), atol=1e-6)
+
+    def test_indivisible_worlds_raises(self, world):
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(devices[:8]), axis_names=("world",))
+        with pytest.raises(ValueError):
+            flygym_tpu.BatchSimulation(world, 12, mesh=mesh)
