@@ -172,7 +172,8 @@ class ModelSpec:
         self.options: dict[str, Any] = {
             "timestep": 1e-4,
             "gravity": (0.0, 0.0, -9810.0),  # mm/s^2 (mujoco_globals.yaml:11)
-            "solver_iterations": 8,
+            "solver": "active_set",
+            "solver_iterations": 3,
             "solver_relaxation": 1.0,
             "ncon_max": 32,
         }
@@ -644,6 +645,7 @@ class ModelSpec:
             ncon=ncon,
             nsensor_contact=len(self.contact_sensors),
             timestep=float(self.options["timestep"]),
+            solver_type=str(self.options["solver"]),
             solver_iterations=int(self.options["solver_iterations"]),
             solver_relaxation=float(self.options["solver_relaxation"]),
             levels=levels,

@@ -151,14 +151,15 @@ def run_simulation(
     targets = jnp.asarray(replay_data)
 
     # Compile outside the timed region (the reference's graph capture is also
-    # outside its timed loop).
+    # outside its timed loop). NOTE: block_until_ready does not reliably block
+    # on the axon TPU backend; a host fetch is the only true device sync.
     final = _replay_episode(sim.model, sim.state, targets, act_ids, n_steps)
-    jax.block_until_ready(final.qpos)
+    np.asarray(final.qpos[0])
     sim.state = final
 
     start = perf_counter_ns()
     final = _replay_episode(sim.model, sim.state, targets, act_ids, n_steps)
-    jax.block_until_ready(final.qpos)
+    np.asarray(final.qpos[0])
     walltime_s = (perf_counter_ns() - start) / 1e9
     sim.state = final
 

@@ -1,4 +1,4 @@
-"""Collision detection and soft-constraint contact solver.
+"""Collision detection, adhesion forces, and the contact constraint solver.
 
 Replaces MuJoCo's collision pipeline + Newton constraint solver (the engine
 underneath the reference's ``mj_step``) with a shape-static TPU pipeline:
@@ -11,15 +11,21 @@ underneath the reference's ``mj_step``) with a shape-static TPU pipeline:
 2. Top-K compression: only the ``ncon`` closest candidates are handed to the
    solver (static shapes; anything farther than the contact margin produces
    zero force anyway).
-3. MuJoCo-compatible constraint dynamics: per-contact stiffness/damping from
-   solref, impedance from solimp (reference ``compose/physics.py:60-77``), a
-   reference acceleration ``aref = -b v - k d(r) r``, and regularization
-   R = (1-d)/d diag(A).
-4. A relaxed block-Jacobi dual solver with elliptic friction-cone projection
-   (fixed iteration count → fully jittable). Adhesion actuators extend each
-   contact's normal force lower bound to -gain*ctrl/n_active, shifting the
-   friction cone accordingly (MuJoCo adhesion semantics; reference
-   ``fly.py:407-441``).
+3. MuJoCo-compatible constraint dynamics: 4-row pyramidal friction cones per
+   contact, per-row stiffness/damping from solref, impedance from solimp
+   (reference ``compose/physics.py:60-77``), reference acceleration
+   ``aref = -b v - k d(r) r`` and regularization R = (1-d)/d diag(A).
+4. Adhesion actuators apply their force (gain x ctrl, split across the
+   body's active contacts) as a smooth generalized force along the inward
+   contact normal — the same pathway real MuJoCo uses (qfrc_actuator), so the
+   solver sees a standard f >= 0 problem.
+5. A **primal Newton solver** (MuJoCo's architecture): minimize
+   ½(a-a_s)ᵀM(a-a_s) + Σ ½ D_r jar_r² over active rows. The Hessian
+   M + JᵀDJ stays well-conditioned even with redundant contacts, each Newton
+   iteration is dense batched linear algebra (MXU work), and 2-3 iterations
+   with a 1D Newton line search converge for the fly's stiff contacts. A
+   projected block Gauss-Seidel fallback (``solver="pgs"``) is kept for
+   cross-checking.
 """
 
 import jax
@@ -59,7 +65,6 @@ def _impedance(solimp: jnp.ndarray, pos_err: jnp.ndarray) -> jnp.ndarray:
         solimp[:, 4],
     )
     x = jnp.clip(jnp.abs(pos_err) / jnp.maximum(width, 1e-12), 0.0, 1.0)
-    # Two-sided power sigmoid around the midpoint.
     a = 1.0 / jnp.power(mid, power - 1.0)
     b = 1.0 / jnp.power(1.0 - mid, power - 1.0)
     y = jnp.where(
@@ -79,8 +84,9 @@ class ContactInfo:
 
 def solve_contacts(
     model: PhysicsModel,
+    Mh: jnp.ndarray,
     chol,
-    qacc_smooth: jnp.ndarray,
+    qfrc_smooth: jnp.ndarray,
     qvel: jnp.ndarray,
     xpos: jnp.ndarray,
     S: jnp.ndarray,
@@ -89,16 +95,21 @@ def solve_contacts(
     ctrl: jnp.ndarray,
     ref: jnp.ndarray,
 ):
-    """Detect contacts, solve for contact forces, return constrained qacc.
+    """Detect contacts, apply adhesion, solve constraints.
+
+    Args:
+        chol: Cholesky factorization of the (damping-augmented) mass matrix.
+        qfrc_smooth: smooth generalized forces excluding adhesion.
 
     Returns:
         qacc: (nv,) constrained acceleration.
-        info: ContactInfo with per-selected-contact fields for sensors.
+        info: ContactInfo for sensors, or None when the model has no contacts.
     """
     if model.ncand == 0:
-        return qacc_smooth, None
+        qacc = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+        return qacc, None
 
-    dtype = qacc_smooth.dtype
+    dtype = qfrc_smooth.dtype
     K = model.ncon
     dist_all, cpos_all = contact_candidates(model, gpos, gquat)
 
@@ -109,58 +120,38 @@ def solve_contacts(
     margin = model.can_margin[sel]
     active = dist < margin
 
-    # Contact frame: x = normal (MuJoCo convention), then two tangents.
+    # Contact frame (x = normal, MuJoCo convention) + tangents.
     n = model.ground_normal
     t1 = jnp.array([1.0, 0.0, 0.0], dtype)
     t1 = t1 - (t1 @ n) * n
     t1 = t1 / jnp.linalg.norm(t1)
     t2 = jnp.cross(n, t1)
-    frame = jnp.stack([n, t1, t2])  # (3, 3) rows are directions
+    frame = jnp.stack([n, t1, t2])  # (3, 3)
     frame_k = jnp.broadcast_to(frame, (K, 3, 3))
 
-    # Contact Jacobian (K, 3, nv): point-velocity rows masked by DoF ancestry.
+    # Contact-frame Jacobian (K, 3, nv), rows [n, t1, t2].
     body = model.can_body[sel]
-    rel = cpos - ref  # (K, 3)
-    jpoint = S[None, :, 3:] + jnp.cross(
-        S[None, :, :3], rel[:, None, :]
-    )  # (K, nv, 3)
+    rel = cpos - ref
+    jpoint = S[None, :, 3:] + jnp.cross(S[None, :, :3], rel[:, None, :])
     affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
     J = jnp.einsum("kud,kvd->kuv", frame_k, jpoint * affects[:, :, None])
 
-    Jm = J.reshape(K * 3, model.nv)
-
-    # Constraint dynamics (solref/solimp → k, b, impedance).
+    # Constraint dynamics parameters.
     solref = model.can_solref[sel]
     solimp = model.can_solimp[sel]
     pos_err = jnp.minimum(dist - margin, 0.0)
     imp = _impedance(solimp, pos_err)
     dmax = solimp[:, 1]
     tc, dr = solref[:, 0], solref[:, 1]
-    b = 2.0 / (dmax * tc)
-    k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+    b_gain = 2.0 / (dmax * tc)
+    k_gain = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+    mu = model.can_friction[sel, 0]
 
-    vel = J @ qvel  # (K, 3)
-    aref = jnp.stack(
-        [
-            -b * vel[:, 0] - k * imp * pos_err,
-            -b * vel[:, 1],
-            -b * vel[:, 2],
-        ],
-        axis=-1,
-    )
-
-    # Dual system: A = J M⁻¹ Jᵀ (dense MXU work), regularized by R.
-    X = jax.scipy.linalg.cho_solve(chol, Jm.T)  # (nv, 3K)
-    A = Jm @ X  # (3K, 3K)
-    diagA = jnp.clip(jnp.diag(A), 1e-12, None)
-    imp_rows = jnp.repeat(imp, 3)
-    R = (1.0 - imp_rows) / imp_rows * diagA
-    b0 = Jm @ qacc_smooth - aref.reshape(-1)
-
-    # Adhesion: per-contact normal lower bound −gain·ctrl/n_active.
+    # ---- adhesion as an applied generalized force (MuJoCo semantics) ----
     adh_act = model.can_adh_act[sel]
     has_adh = adh_act >= 0
     adh_idx = jnp.maximum(adh_act, 0)
+    adh_force_per_contact = jnp.zeros((K,), dtype)
     if model.nu:
         lo_c, hi_c = model.act_ctrlrange[:, 0], model.act_ctrlrange[:, 1]
         c_cl = jnp.where(
@@ -169,62 +160,64 @@ def solve_contacts(
         adh_total = jnp.where(
             model.act_kind == ActKind.ADHESION, model.act_gain * c_cl, 0.0
         )
-        # Count active contacts per adhesion actuator to distribute the force.
         counts = jnp.zeros((model.nu,), dtype).at[adh_idx].add(
             jnp.where(has_adh & active, 1.0, 0.0)
         )
-        per_contact = adh_total[adh_idx] / jnp.maximum(counts[adh_idx], 1.0)
-        f_lo = jnp.where(has_adh & active, -per_contact, 0.0)
-    else:
-        f_lo = jnp.zeros((K,), dtype)
+        adh_force_per_contact = jnp.where(
+            has_adh & active,
+            adh_total[adh_idx] / jnp.maximum(counts[adh_idx], 1.0),
+            0.0,
+        )
+    # Pull toward the surface: force -f n at the contact point.
+    qfrc_adh = jnp.einsum("k,kv->v", -adh_force_per_contact, J[:, 0, :])
+    qfrc_total = qfrc_smooth + qfrc_adh
+    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_total)
 
-    mu = model.can_friction[sel, 0]
-    active_rows = jnp.repeat(active, 3)
-
-    # Per-contact 3x3 diagonal blocks of (A + diag(R)).
-    blocks = A.reshape(K, 3, K, 3)[jnp.arange(K), :, jnp.arange(K), :]
-    blocks = blocks + jax.vmap(jnp.diag)(R.reshape(K, 3))
-    blocks = blocks + 1e-10 * jnp.eye(3, dtype=dtype)
-
-    relax = model.solver_relaxation
-
-    # Precompute per-contact inverse blocks for the Gauss-Seidel sweeps.
-    block_inv = jnp.linalg.inv(blocks)  # (K, 3, 3)
-    A_rows = A.reshape(K, 3, K * 3)  # rows grouped per contact
-
-    def project_one(fc, lo, mu_c, act):
-        fn = jnp.clip(fc[0], lo, None)
-        ft = fc[1:]
-        # Friction cone shifted by the adhesion offset: |ft| <= mu (fn - lo).
-        bound = mu_c * jnp.maximum(fn - lo, 0.0)
-        ft_norm = jnp.linalg.norm(ft)
-        scale = jnp.where(ft_norm > bound, bound / jnp.maximum(ft_norm, 1e-12), 1.0)
-        return jnp.concatenate([fn[None], ft * scale]) * act
-
-    def sweep(f, _):
-        # Projected block Gauss-Seidel: sequential over contacts (robust for
-        # stiff, strongly coupled systems); each inner op vectorizes across
-        # vmapped worlds, so the sequential chain costs little in batch mode.
-        def per_contact(f_carry, c):
-            res = A_rows[c] @ f_carry + R.reshape(K, 3)[c] * f_carry.reshape(
-                K, 3
-            )[c] + b0.reshape(K, 3)[c]
-            fc = f_carry.reshape(K, 3)[c] + relax * (block_inv[c] @ (-res))
-            fc = project_one(fc, f_lo[c], mu[c], active[c].astype(dtype))
-            f_new = jax.lax.dynamic_update_slice(f_carry, fc, (3 * c,))
-            return f_new, None
-
-        f, _ = jax.lax.scan(per_contact, f, jnp.arange(K))
-        return f, None
-
-    f, _ = jax.lax.scan(
-        sweep, jnp.zeros((K * 3,), dtype), None, length=model.solver_iterations
+    # ---- pyramidal rows (K, 4, nv): n ± mu t1, n ± mu t2 ----
+    Jn, Jt1, Jt2 = J[:, 0], J[:, 1], J[:, 2]
+    mu_ = mu[:, None]
+    Jp = jnp.stack(
+        [Jn + mu_ * Jt1, Jn - mu_ * Jt1, Jn + mu_ * Jt2, Jn - mu_ * Jt2],
+        axis=1,
     )
+    m_rows = K * 4
+    Jp_flat = Jp.reshape(m_rows, model.nv)
 
-    qacc = qacc_smooth + X @ f
+    vel_rows = Jp_flat @ qvel  # (4K,)
+    pos_rows = jnp.repeat(pos_err, 4)
+    imp_rows = jnp.repeat(imp, 4)
+    aref = (
+        -jnp.repeat(b_gain, 4) * vel_rows
+        - jnp.repeat(k_gain, 4) * imp_rows * pos_rows
+    )
+    row_active_mask = jnp.repeat(active, 4)
 
-    f_con = f.reshape(K, 3)
-    f_world = f_con @ frame  # rows are directions → world force
+    # Row regularization: R = (1-d)/d diag(A), D = 1/R.
+    X = jax.scipy.linalg.cho_solve(chol, Jp_flat.T)  # (nv, 4K)
+    diagA = jnp.clip(jnp.sum(Jp_flat * X.T, axis=1), 1e-12, None)
+    R = (1.0 - imp_rows) / imp_rows * diagA
+    D = jnp.where(row_active_mask, 1.0 / R, 0.0)
+
+    if model.solver_type == "pgs":
+        lam = _solve_dual_pgs(
+            model, Jp_flat, X, D, aref, qacc_smooth, row_active_mask, K, dtype
+        )
+        qacc = qacc_smooth + X @ lam
+    else:
+        qacc, lam, _jar = _solve_primal_newton(
+            model, Mh, Jp_flat, D, aref, qacc_smooth, qvel, dtype
+        )
+
+    # Contact-frame constraint forces from the pyramid multipliers (the
+    # contact sensor reports constraint force; adhesion flows through the
+    # actuator pathway, matching MuJoCo).
+    lam_k = lam.reshape(K, 4)
+    fn = jnp.sum(lam_k, axis=1)
+    ft1 = mu * (lam_k[:, 0] - lam_k[:, 1])
+    ft2 = mu * (lam_k[:, 2] - lam_k[:, 3])
+    f_con = jnp.stack([fn, ft1, ft2], axis=-1) * active[:, None]
+    f_world = f_con @ frame
+
     info = ContactInfo(
         sel=sel,
         dist=dist,
@@ -235,6 +228,89 @@ def solve_contacts(
         frame=frame,
         sensor=model.can_sensor[sel],
         adh_act=adh_act,
+        adh_force=adh_force_per_contact,
         body=body,
     )
     return qacc, info
+
+
+def _solve_primal_newton(model, Mh, Jp, D, aref, qacc_smooth, qvel, dtype):
+    """MuJoCo-style primal Newton with pyramidal cones.
+
+    Minimizes c(a) = ½ (a - a_s)ᵀ Mh (a - a_s) + Σ_r ½ D_r jar_r² [jar_r < 0]
+    where jar = Jp a - aref. Non-negativity of the pyramid multipliers
+    λ_r = -D_r jar_r [jar_r < 0] is automatic. Each iteration: assemble the
+    active-set Hessian (one (nv, m) x (m, nv) matmul), factor, solve, then a
+    short 1D Newton line search on the exact piecewise-quadratic restriction.
+    """
+    nv = model.nv
+
+    def M_mul(x):
+        return Mh @ x
+
+    a_s = qacc_smooth
+
+    def cost_grad_active(a):
+        jar = Jp @ a - aref
+        act = (jar < 0.0).astype(dtype) * (D > 0.0)
+        return jar, act
+
+    def newton_iter(a, _):
+        jar, act = cost_grad_active(a)
+        w = D * act
+        grad = M_mul(a - a_s) + Jp.T @ (w * jar)
+        # Hessian: Mh + Jpᵀ diag(w) Jp.
+        H = Mh + (Jp.T * w[None, :]) @ Jp
+        H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
+        cf = jax.scipy.linalg.cho_factor(H)
+        delta = -jax.scipy.linalg.cho_solve(cf, grad)
+
+        # Exact-ish line search: 1D Newton on φ(α) = c(a + α δ).
+        Jd = Jp @ delta  # (m,)
+        Md = M_mul(delta)
+        dMd = delta @ Md
+        aMd = (a - a_s) @ Md
+
+        def ls_iter(alpha, _):
+            jar_a = jar + alpha * Jd
+            act_a = (jar_a < 0.0).astype(dtype) * (D > 0.0)
+            dphi = aMd + alpha * dMd + jnp.sum(D * act_a * jar_a * Jd)
+            ddphi = dMd + jnp.sum(D * act_a * Jd * Jd)
+            return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
+
+        alpha, _ = jax.lax.scan(ls_iter, jnp.ones((), dtype), None, length=6)
+        alpha = jnp.clip(alpha, 0.0, 2.0)
+        return a + alpha * delta, None
+
+    a, _ = jax.lax.scan(
+        newton_iter, a_s, None, length=max(model.solver_iterations, 1)
+    )
+    jar, act = cost_grad_active(a)
+    lam = jnp.maximum(-D * act * jar, 0.0)
+    return a, lam, jar
+
+
+def _solve_dual_pgs(model, Jp, X, D, aref, qacc_smooth, row_active, K, dtype):
+    """Projected Gauss-Seidel on the pyramidal dual (λ >= 0). Verification
+    fallback — many tiny sequential kernels."""
+    A = Jp @ X  # (4K, 4K)
+    R = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-12), 0.0)
+    b0 = Jp @ qacc_smooth - aref
+    diag = jnp.clip(jnp.diag(A) + R, 1e-12, None)
+
+    def sweep(lam, _):
+        def per_row(lam_c, r):
+            res = A[r] @ lam_c + R[r] * lam_c[r] + b0[r]
+            new = jnp.maximum(lam_c[r] - res / diag[r], 0.0) * row_active[r]
+            return lam_c.at[r].set(new), None
+
+        lam, _ = jax.lax.scan(per_row, lam, jnp.arange(K * 4))
+        return lam, None
+
+    lam, _ = jax.lax.scan(
+        sweep,
+        jnp.zeros((K * 4,), dtype),
+        None,
+        length=max(model.solver_iterations, 4),
+    )
+    return lam

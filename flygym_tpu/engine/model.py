@@ -81,6 +81,7 @@ class PhysicsModel:
     ncon: int = static_field()  # max simultaneous contacts fed to the solver
     nsensor_contact: int = static_field()
     timestep: float = static_field()
+    solver_type: str = static_field()  # "active_set" (TPU default) | "pgs"
     solver_iterations: int = static_field()
     solver_relaxation: float = static_field()
     levels: tuple = static_field()  # tuple[tuple[int, ...]] body ids per tree depth

@@ -63,11 +63,10 @@ def step(model: PhysicsModel, state: State) -> State:
     # Implicit joint damping: solve (M + h diag(B)) a = f  (MuJoCo Euler).
     Mh = M + dt * jnp.diag(model.dof_damping)
     chol = jax.scipy.linalg.cho_factor(Mh)
-    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
 
-    # ---- contacts ----
+    # ---- contacts (adds adhesion forces, solves constraints) ----
     qacc, con_info = contact.solve_contacts(
-        model, chol, qacc_smooth, qvel, xpos, S, gpos, gquat, ctrl, ref
+        model, Mh, chol, qfrc_smooth, qvel, xpos, S, gpos, gquat, ctrl, ref
     )
 
     # ---- integrate ----
@@ -78,17 +77,15 @@ def step(model: PhysicsModel, state: State) -> State:
     # ---- cached outputs (pre-integration configuration) ----
     site_xpos = compute_site_xpos(model, xpos, xquat)
     sensordata = sensors.contact_sensor_data(model, con_info)
-    if con_info is not None and model.nu:
-        # Realized adhesion force per adhesion actuator (sum of attraction).
-        adh_idx = jnp.maximum(con_info.adh_act, 0)
-        pull = jnp.where(
-            (con_info.adh_act >= 0) & con_info.active,
-            jnp.minimum(con_info.force_frame[:, 0], 0.0),
-            0.0,
-        )
-        adh_force = jnp.zeros((model.nu,), dtype).at[adh_idx].add(pull)
+    if model.nu:
+        # Adhesion actuator force readout = gain * clamped ctrl (MuJoCo
+        # reports the commanded adhesion force through actuator_force).
+        lo, hi = model.act_ctrlrange[:, 0], model.act_ctrlrange[:, 1]
+        c_cl = jnp.where(model.act_ctrllimited > 0, jnp.clip(ctrl, lo, hi), ctrl)
         actuator_force = jnp.where(
-            model.act_kind == ActKind.ADHESION, -adh_force, actuator_force
+            model.act_kind == ActKind.ADHESION,
+            model.act_gain * c_cl,
+            actuator_force,
         )
 
     return State(

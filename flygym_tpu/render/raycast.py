@@ -1,0 +1,212 @@
+"""Primitive raycaster: renders the capsule/plane scene entirely in XLA.
+
+Replaces the reference's GPU batch raytracer (MuJoCo-Warp
+``create_render_context`` / ``refit_bvh`` / ``render``, flygym
+``warp/rendering.py:279-341``) with a BVH-free direct raycast: with ~70
+capsules per fly a dense ray × geom intersection test vectorizes perfectly and
+needs no acceleration structure. The same function vmaps over worlds for
+batch rendering and is reused by the retina (eye-lattice rays instead of
+camera pixel rays — see flygym_tpu.vision).
+
+Everything is pure jnp: rendering fuses into one XLA program and can run
+inside a scanned episode (render-while-stepping without host round trips).
+"""
+
+import jax.numpy as jnp
+
+from flygym_tpu.engine.maths import quat_rotate, quat_to_mat
+from flygym_tpu.engine.model import PhysicsModel
+
+__all__ = ["camera_rays", "raycast_scene", "render_pixels"]
+
+_BIG = 1e30
+
+
+def camera_rays(height: int, width: int, fovy_deg: float, dtype=jnp.float32):
+    """Pixel ray directions in the camera frame (-z forward, y up).
+
+    Returns (H, W, 3) unit directions.
+    """
+    fovy = jnp.deg2rad(jnp.asarray(fovy_deg, dtype))
+    tan_y = jnp.tan(fovy / 2.0)
+    tan_x = tan_y * (width / height)
+    ys = jnp.linspace(tan_y, -tan_y, height, dtype=dtype)
+    xs = jnp.linspace(-tan_x, tan_x, width, dtype=dtype)
+    xg, yg = jnp.meshgrid(xs, ys)
+    dirs = jnp.stack([xg, yg, -jnp.ones_like(xg)], axis=-1)
+    return dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+def _ray_capsule(origin, direction, p0, p1, radius):
+    """Ray vs capsule (segment p0-p1, radius r).
+
+    origin/direction: (..., 3) broadcastable against capsule params
+    p0/p1/radius: (..., 3) / (...,).
+
+    Returns (t, hit): distance along ray (inf when missed) and hit mask.
+    """
+    ba = p1 - p0
+    oa = origin - p0
+    baba = jnp.sum(ba * ba, axis=-1)
+    bard = jnp.sum(ba * direction, axis=-1)
+    baoa = jnp.sum(ba * oa, axis=-1)
+    rdoa = jnp.sum(direction * oa, axis=-1)
+    oaoa = jnp.sum(oa * oa, axis=-1)
+
+    a = baba - bard * bard
+    b = baba * rdoa - baoa * bard
+    c = baba * oaoa - baoa * baoa - radius * radius * baba
+    h = b * b - a * c
+    safe_a = jnp.where(jnp.abs(a) < 1e-12, 1e-12, a)
+    t_cyl = (-b - jnp.sqrt(jnp.maximum(h, 0.0))) / safe_a
+    y = baoa + t_cyl * bard
+    cyl_hit = (h >= 0.0) & (y > 0.0) & (y < baba) & (t_cyl > 0.0)
+
+    def sphere_t(center):
+        oc = origin - center
+        b_s = jnp.sum(direction * oc, axis=-1)
+        c_s = jnp.sum(oc * oc, axis=-1) - radius * radius
+        h_s = b_s * b_s - c_s
+        t_s = -b_s - jnp.sqrt(jnp.maximum(h_s, 0.0))
+        return jnp.where((h_s >= 0.0) & (t_s > 0.0), t_s, _BIG)
+
+    t_caps = jnp.minimum(sphere_t(p0), sphere_t(p1))
+    t = jnp.where(cyl_hit, t_cyl, t_caps)
+    hit = t < _BIG
+    return jnp.where(hit, t, _BIG), hit
+
+
+def _ray_plane(origin, direction, plane_z=0.0):
+    """Ray vs horizontal plane z = plane_z. Returns (t, hit)."""
+    dz = direction[..., 2]
+    t = (plane_z - origin[..., 2]) / jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+    hit = (t > 0.0) & (jnp.abs(dz) > 1e-12)
+    return jnp.where(hit, t, _BIG), hit
+
+
+def raycast_scene(
+    model: PhysicsModel,
+    gpos: jnp.ndarray,
+    gquat: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    capsule_mask: jnp.ndarray,
+):
+    """Nearest-hit raycast against all capsule geoms + the ground plane.
+
+    Args:
+        gpos/gquat: (ngeom, 3/4) world geom poses.
+        origins/directions: (R, 3) rays.
+        capsule_mask: (ngeom,) 1.0 for geoms to render as capsules.
+
+    Returns:
+        t: (R,) hit distance (inf for sky).
+        geom_idx: (R,) nearest geom index, -1 for plane, -2 for sky.
+        normal: (R, 3) surface normal at the hit.
+    """
+    z_axis = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], gpos.dtype))
+    half = model.geom_size[:, 1]
+    radius = model.geom_size[:, 0]
+    p0 = gpos - half[:, None] * z_axis
+    p1 = gpos + half[:, None] * z_axis
+
+    # (R, ngeom) intersection tests.
+    t_caps, _hits = _ray_capsule(
+        origins[:, None, :],
+        directions[:, None, :],
+        p0[None, :, :],
+        p1[None, :, :],
+        radius[None, :],
+    )
+    t_caps = jnp.where(capsule_mask[None, :] > 0, t_caps, _BIG)
+
+    t_geom = jnp.min(t_caps, axis=1)
+    idx_geom = jnp.argmin(t_caps, axis=1)
+
+    t_plane, _ = _ray_plane(origins, directions, float(0.0))
+
+    t = jnp.minimum(t_geom, t_plane)
+    geom_idx = jnp.where(
+        t_geom <= t_plane, idx_geom, jnp.where(t_plane < _BIG, -1, -2)
+    )
+    geom_idx = jnp.where(t < _BIG, geom_idx, -2)
+
+    # Normals.
+    hit_p = origins + t[:, None] * directions
+    seg_a = p0[idx_geom]
+    seg_b = p1[idx_geom]
+    ba = seg_b - seg_a
+    denom = jnp.maximum(jnp.sum(ba * ba, axis=-1), 1e-12)
+    s = jnp.clip(jnp.sum((hit_p - seg_a) * ba, axis=-1) / denom, 0.0, 1.0)
+    closest = seg_a + s[:, None] * ba
+    n_caps = hit_p - closest
+    n_caps = n_caps / jnp.maximum(
+        jnp.linalg.norm(n_caps, axis=-1, keepdims=True), 1e-12
+    )
+    n_plane = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], gpos.dtype), n_caps.shape
+    )
+    normal = jnp.where((geom_idx >= 0)[:, None], n_caps, n_plane)
+    return t, geom_idx, normal
+
+
+def render_pixels(
+    model: PhysicsModel,
+    gpos: jnp.ndarray,
+    gquat: jnp.ndarray,
+    cam_pos: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    height: int,
+    width: int,
+    fovy_deg: float,
+    capsule_mask: jnp.ndarray,
+    checker_period: float = 1.0,
+):
+    """Render one RGB frame (H, W, 3) float in [0, 1].
+
+    Shading: headlight Lambertian + ambient, checkerboard ground (the
+    reference's checker texture, ``world.py:234-250``), distance-fogged sky.
+    """
+    dtype = gpos.dtype
+    dirs_cam = camera_rays(height, width, fovy_deg, dtype).reshape(-1, 3)
+    R = quat_to_mat(cam_quat)
+    dirs = dirs_cam @ R.T
+    origins = jnp.broadcast_to(cam_pos, dirs.shape)
+
+    t, geom_idx, normal = raycast_scene(
+        model, gpos, gquat, origins, dirs, capsule_mask
+    )
+
+    hit_p = origins + t[:, None] * dirs
+
+    # Base colors.
+    geom_rgb = model.geom_rgba[jnp.maximum(geom_idx, 0), :3]
+    checker = (
+        jnp.floor(hit_p[:, 0] / checker_period)
+        + jnp.floor(hit_p[:, 1] / checker_period)
+    ) % 2.0
+    ground_rgb = jnp.where(
+        checker[:, None] > 0.5,
+        jnp.array([0.4, 0.4, 0.4], dtype),
+        jnp.array([0.3, 0.3, 0.3], dtype),
+    )
+    sky_rgb = jnp.array([0.65, 0.75, 0.9], dtype)
+    base = jnp.where(
+        (geom_idx >= 0)[:, None],
+        geom_rgb,
+        jnp.where((geom_idx == -1)[:, None], ground_rgb, sky_rgb),
+    )
+
+    # Headlight shading (light from the camera).
+    lambert = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
+    shade = 0.45 + 0.55 * lambert
+    rgb = base * jnp.where((geom_idx == -2)[:, None], 1.0, shade[:, None])
+
+    # Subtle distance fog on the ground for depth perception.
+    fog = jnp.clip(t / 60.0, 0.0, 1.0)
+    rgb = jnp.where(
+        (geom_idx == -1)[:, None],
+        rgb * (1 - fog[:, None]) + sky_rgb * fog[:, None],
+        rgb,
+    )
+    return jnp.clip(rgb, 0.0, 1.0).reshape(height, width, 3)

@@ -1,0 +1,243 @@
+"""Offline renderer: camera management, time-gated frame capture, video export.
+
+Parity reference: flygym ``rendering.py`` (Renderer :16-268: multi-camera,
+``render_as_needed`` time gating, frame buffering, notebook display, mp4
+export) and ``warp/rendering.py`` (multi-world frame buffers, world selection,
+grid montage with world-ID overlay :21-276).
+
+One class covers both the single-world and batched cases: frames are rendered
+by the XLA raycaster (render/raycast.py) and buffered on host.
+"""
+
+from os import PathLike
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flygym_tpu.compose.spec import CameraSpec
+from flygym_tpu.engine.maths import quat_rotate
+from flygym_tpu.engine.model import PhysicsModel, State
+from flygym_tpu.render.raycast import render_pixels
+
+__all__ = ["Renderer", "launch_interactive_viewer", "preview_model"]
+
+
+class Renderer:
+    """Raycasting renderer with reference-compatible frame gating.
+
+    Args:
+        model: Compiled physics model.
+        world: The composed world (for camera lookup by name).
+        cameras: Camera name, CameraSpec, or a sequence of either.
+        camera_res: (height, width) pixels.
+        playback_speed: Video playback speed relative to real time.
+        output_fps: Output video frame rate.
+        buffer_frames: Keep rendered frames in memory.
+        world_ids: For batched states, which worlds to render (default [0]).
+    """
+
+    def __init__(
+        self,
+        model: PhysicsModel,
+        world,
+        cameras,
+        *,
+        camera_res: tuple[int, int] = (240, 320),
+        playback_speed: float = 0.2,
+        output_fps: int = 25,
+        buffer_frames: bool = True,
+        world_ids: Sequence[int] | None = None,
+        **kwargs: Any,
+    ) -> None:
+        self.model = model
+        self.world = world
+        self.camera_res = tuple(camera_res)
+        self.playback_speed = playback_speed
+        self.output_fps = output_fps
+        self.buffer_frames = buffer_frames
+        self.world_ids = list(world_ids) if world_ids is not None else [0]
+
+        if not isinstance(cameras, (list, tuple)):
+            cameras = [cameras]
+        self.cameras: list[CameraSpec] = [self._resolve_camera(c) for c in cameras]
+        self.camera_names = [c.full_identifier for c in self.cameras]
+
+        # Geoms rendered: capsules only (planes handled analytically).
+        capsule_mask = np.array(
+            [1.0 if t == "capsule" else 0.0 for t in model.geom_types], np.float32
+        )
+        self._capsule_mask = jnp.asarray(capsule_mask)
+        self._render_fn = jax.jit(self._render_one_camera, static_argnums=(0,))
+
+        self._frames: dict[str, list] = {name: [] for name in self.camera_names}
+        self._last_render_time = -np.inf
+        self._eps = 1e-9
+
+    # -- camera resolution ------------------------------------------------
+
+    def _resolve_camera(self, camera) -> CameraSpec:
+        if isinstance(camera, CameraSpec):
+            return camera
+        if isinstance(camera, str):
+            for fly in self.world.fly_lookup.values():
+                if camera in fly.cameraname_to_speccamera:
+                    return fly.cameraname_to_speccamera[camera]
+            for cam in self.world.spec.cameras:
+                if cam.name == camera or cam.full_identifier == camera:
+                    return cam
+            raise ValueError(f"Camera '{camera}' not found in the world.")
+        raise TypeError(f"Invalid camera spec: {camera!r}")
+
+    def _camera_pose(self, cam: CameraSpec, state: State):
+        pos = jnp.asarray(cam.pos, jnp.float32)
+        quat = jnp.asarray(cam.quat, jnp.float32)
+        if cam.mode == "track" and cam.target is not None:
+            target_id = self.world.compiled.body_name2id[cam.target]
+            # Track mode: position follows the target body, orientation fixed.
+            pos = state.xpos[target_id] + pos
+        return pos, quat
+
+    def _render_one_camera(self, cam_index: int, state: State):
+        cam = self.cameras[cam_index]
+        pos, quat = self._camera_pose(cam, state)
+        from flygym_tpu.engine.kinematics import geom_poses
+
+        gpos, gquat = geom_poses(self.model, state.xpos, state.xquat)
+        h, w = self.camera_res
+        return render_pixels(
+            self.model,
+            gpos,
+            gquat,
+            pos,
+            quat,
+            h,
+            w,
+            cam.fovy,
+            self._capsule_mask,
+        )
+
+    # -- public API --------------------------------------------------------
+
+    @property
+    def render_interval(self) -> float:
+        """Simulated seconds between frames."""
+        return 1.0 / (self.output_fps / self.playback_speed)
+
+    def render_as_needed(self, state: State) -> bool:
+        """Render if sim time advanced past the next frame boundary
+        (reference ``rendering.py:81-101``)."""
+        time = np.asarray(state.time)
+        sim_time = float(time.flat[0])
+        if sim_time < self._last_render_time + self.render_interval - self._eps:
+            return False
+        self.render(state)
+        self._last_render_time = sim_time
+        return True
+
+    def render(self, state: State) -> dict[str, np.ndarray]:
+        """Render all cameras now. For batched states, renders the selected
+        ``world_ids``; frames are (n_selected, H, W, 3) uint8."""
+        batched = np.asarray(state.time).ndim > 0 and np.asarray(state.time).size > 1
+        out = {}
+        for ci, name in enumerate(self.camera_names):
+            if batched:
+                frames = []
+                for w in self.world_ids:
+                    sub = jax.tree.map(lambda x: x[w], state)
+                    frames.append(self._render_fn(ci, sub))
+                frame = np.stack([np.asarray(f) for f in frames])
+            else:
+                frame = np.asarray(self._render_fn(ci, state))
+            frame = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
+            out[name] = frame
+            if self.buffer_frames:
+                self._frames[name].append(frame)
+        return out
+
+    def get_frames(self, camera: str | None = None, world_id: int | None = None):
+        """Buffered frames for a camera (default: first camera)."""
+        name = camera or self.camera_names[0]
+        frames = self._frames[name]
+        if world_id is not None:
+            sel = self.world_ids.index(world_id)
+            return [f[sel] for f in frames]
+        return frames
+
+    def reset(self) -> None:
+        """Clear buffered frames and the render clock."""
+        self._frames = {name: [] for name in self.camera_names}
+        self._last_render_time = -np.inf
+
+    def save_video(
+        self,
+        path: PathLike,
+        camera: str | None = None,
+        world_id: int | None = None,
+    ) -> None:
+        """Export buffered frames as a video (reference ``rendering.py:125-172``)."""
+        from flygym_tpu.utils.video import write_video
+
+        frames = self.get_frames(camera, world_id)
+        if frames and frames[0].ndim == 4:
+            frames = [f[0] for f in frames]  # first selected world by default
+        write_video(Path(path), frames, fps=self.output_fps)
+
+    def save_video_grid(self, path: PathLike, camera: str | None = None) -> None:
+        """Multi-world grid montage video with world-ID overlays
+        (reference ``warp/rendering.py:141-262``)."""
+        from flygym_tpu.utils.video import montage_grid, write_video
+
+        name = camera or self.camera_names[0]
+        frames = self._frames[name]
+        grid_frames = [montage_grid(f, self.world_ids) for f in frames]
+        write_video(Path(path), grid_frames, fps=self.output_fps)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def preview_model(
+    world,
+    camera="trackcam",
+    *,
+    duration_s: float = 0.02,
+    camera_res=(240, 320),
+    save_path: PathLike | None = None,
+):
+    """Short rollout + render (reference ``rendering.py:300-351``).
+
+    Returns the last rendered frame as (H, W, 3) uint8.
+    """
+    from flygym_tpu.simulation import Simulation
+
+    sim = Simulation(world)
+    renderer = sim.set_renderer(camera, camera_res=camera_res)
+    sim.warmup(duration_s)
+    frames = renderer.render(sim.state)
+    frame = next(iter(frames.values()))
+    if save_path is not None:
+        from PIL import Image
+
+        Image.fromarray(frame).save(save_path)
+    return frame
+
+
+def launch_interactive_viewer(world, **kwargs):
+    """Interactive viewing is not available on headless TPU hosts.
+
+    The reference launches the native MuJoCo viewer
+    (``rendering.py:271-297``); here, export the model and view it with any
+    MJCF-compatible viewer, or use :func:`preview_model` for offline frames.
+    """
+    raise NotImplementedError(
+        "Interactive viewing requires a display; this TPU build is headless. "
+        "Use preview_model(world) for offline frames, or "
+        "world.save_xml_with_assets(path) and open the MJCF in a MuJoCo "
+        "viewer on a workstation."
+    )

@@ -201,9 +201,13 @@ class TestFlyGolden:
         z_mj = float(d.qpos[2])
         assert abs(z_me - z_mj) < 0.06, (z_me, z_mj)  # < 6% of body height
         assert np.all(np.asarray(state.contact_sensordata)[:, 0] == 1.0)
-        # Total normal force supports the body weight (±20%).
+        # Total normal constraint force supports the body weight plus the
+        # adhesion pull (adhesion is an applied force through the actuator
+        # pathway, like MuJoCo; ctrl clamps to >= 1 so each of the 6 legs
+        # pulls with gain * 1).
         total_fn = float(np.asarray(state.contact_sensordata)[:, 1].sum())
         weight = float(
             np.asarray(model.body_mass).sum() * -float(model.gravity[2])
         )
-        assert 0.5 * weight < total_fn < 1.5 * weight
+        expected = weight + 6.0
+        assert 0.8 * expected < total_fn < 1.2 * expected
