@@ -105,29 +105,29 @@ def extract_preprogrammed_steps(
             )
             tables[:, b, :] = tables[:, nearest, :]
 
-    # Stance labeling from claw keypoint height.
+    # Stance labeling from leg-tip keypoint height (one tarsus5 keypoint per
+    # leg, ordered like snippet.legs).
     stance = np.zeros((6, n_bins), np.float32)
-    kp_names = [kp[-1].lower() if isinstance(kp, tuple) else str(kp) for kp in snippet.keypoints]
-    tip_z = None
-    try:
-        claw_idx = [
+    tip_idx = []
+    for leg in snippet.legs:
+        matches = [
             i
             for i, kp in enumerate(snippet.keypoints)
-            if any("claw" in str(part).lower() or "tarsus" in str(part).lower()
-                   for part in (kp if isinstance(kp, tuple) else (kp,)))
+            if isinstance(kp, tuple)
+            and len(kp) >= 2
+            and kp[0] == leg
+            and any("tarsus5" in str(p) for p in kp[1:])
         ]
-        if claw_idx:
-            tip_z = snippet.fwdkin_egoxyz[:, claw_idx, 2]
-    except Exception:
-        tip_z = None
-    if tip_z is not None and tip_z.shape[1] >= 6:
-        tip_z = tip_z[:, :6]
+        if matches:
+            tip_idx.append(matches[0])
+    if len(tip_idx) == 6:
+        tip_z = snippet.fwdkin_egoxyz[:, tip_idx, 2]  # (T, 6)
         thresh = np.median(tip_z, axis=0, keepdims=True)
         grounded = (tip_z <= thresh + 0.05 * np.abs(thresh)).astype(np.float32)
         for b in range(n_bins):
             mask = bins == b
             if mask.any():
-                stance[:, b] = grounded[mask].mean(axis=0).T
+                stance[:, b] = grounded[mask].mean(axis=0)
         stance = (stance > 0.5).astype(np.float32)
     else:
         # Fallback: stance during the half-cycle where the femur-tibia flexes.
