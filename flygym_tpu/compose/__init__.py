@@ -12,6 +12,9 @@ _LAZY = {
     "BaseWorld": "flygym_tpu.compose.world",
     "FlatGroundWorld": "flygym_tpu.compose.world",
     "TetheredWorld": "flygym_tpu.compose.world",
+    "HeightfieldTerrainWorld": "flygym_tpu.compose.world",
+    "BlocksTerrainWorld": "flygym_tpu.compose.world",
+    "GappedTerrainWorld": "flygym_tpu.compose.world",
     "KinematicPose": "flygym_tpu.compose.pose",
     "KinematicPosePreset": "flygym_tpu.compose.pose",
     "ContactParams": "flygym_tpu.compose.physics",

@@ -169,6 +169,9 @@ class ModelSpec:
         self.pairs: list[PairSpec] = []
         self.contact_sensors: list[ContactSensorSpec] = []
         self.cameras: list[CameraSpec] = []
+        # Optional heightfield terrain: dict(data (nr, nc) heights in mm,
+        # xy0 (2,), cell (2,) spacing). None → flat ground plane.
+        self.hfield: dict | None = None
         self.options: dict[str, Any] = {
             "timestep": 1e-4,
             "gravity": (0.0, 0.0, -9810.0),  # mm/s^2 (mujoco_globals.yaml:11)
@@ -365,6 +368,7 @@ class ModelSpec:
         nh = len(hinge_entries)
 
         hinge_body = np.zeros(nh, i32)
+        hinge_slot = np.zeros(nh, i32)
         hinge_axis = np.zeros((nh, 3), f32)
         hinge_qadr = np.zeros(nh, i32)
         hinge_vadr = np.zeros(nh, i32)
@@ -392,6 +396,7 @@ class ModelSpec:
                     f"Body {bid} has more than 3 hinge joints"
                 )
             body_hinge_idx[bid, slot] = k
+            hinge_slot[k] = slot
             body_hinge_count[bid] += 1
 
         body_free_qadr = -np.ones(nb, i32)
@@ -430,6 +435,16 @@ class ModelSpec:
         levels = tuple(
             tuple(int(i) for i in np.nonzero(level == d)[0]) for d in range(nlevel)
         )
+
+        # Pointer-doubling ancestor jump tables (log2(depth) rounds).
+        jumps = []
+        current = body_parent.copy()
+        depth = max(nlevel - 1, 1)
+        rounds = max(int(np.ceil(np.log2(depth))), 1) if depth > 1 else 1
+        for _ in range(rounds):
+            jumps.append(tuple(int(x) for x in current))
+            current = current[current]
+        ancestor_jumps = tuple(jumps)
 
         # DoF ancestor mask: strict body ancestry, or same body with i <= j.
         dof_ancestor_mask = np.zeros((nv, nv), f32)
@@ -649,6 +664,7 @@ class ModelSpec:
             solver_iterations=int(self.options["solver_iterations"]),
             solver_relaxation=float(self.options["solver_relaxation"]),
             levels=levels,
+            ancestor_jumps=ancestor_jumps,
             ref_body=int(ref_body),
             free_joints=tuple(free_joints),
             geom_types=tuple(geom_types),
@@ -665,6 +681,7 @@ class ModelSpec:
             body_free_vadr=jnp.asarray(body_free_vadr),
             body_subtree_mask=jnp.asarray(body_subtree_mask),
             hinge_body=jnp.asarray(hinge_body),
+            hinge_slot=jnp.asarray(hinge_slot),
             hinge_axis=jnp.asarray(hinge_axis),
             hinge_qadr=jnp.asarray(hinge_qadr),
             hinge_vadr=jnp.asarray(hinge_vadr),
@@ -689,8 +706,20 @@ class ModelSpec:
             can_margin=jnp.asarray(can_margin),
             can_adh_act=jnp.asarray(can_adh_act),
             can_sensor=jnp.asarray(can_sensor),
+            can_invweight=jnp.ones((ncand, 4), jnp.float32),
             ground_pos=jnp.zeros(3, jnp.float32),
             ground_normal=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+            has_hfield=self.hfield is not None,
+            hfield_data=jnp.asarray(
+                self.hfield["data"] if self.hfield else np.zeros((2, 2)),
+                jnp.float32,
+            ),
+            hfield_xy0=jnp.asarray(
+                self.hfield["xy0"] if self.hfield else (-1.0, -1.0), jnp.float32
+            ),
+            hfield_cell=jnp.asarray(
+                self.hfield["cell"] if self.hfield else (1.0, 1.0), jnp.float32
+            ),
             act_kind=jnp.asarray(act_kind),
             act_hinge=jnp.asarray(act_hinge),
             act_body=jnp.asarray(act_body),
@@ -706,6 +735,19 @@ class ModelSpec:
             qpos0=jnp.asarray(qpos0),
             ctrl0=jnp.asarray(ctrl0),
         )
+
+        if ncand:
+            # Precompute constraint inverse weights at the neutral pose (the
+            # analog of MuJoCo's compile-time body_invweight0).
+            import dataclasses as _dc
+
+            import jax as _jax
+
+            from flygym_tpu.engine.contact import compute_candidate_invweight
+
+            invweight = _jax.jit(compute_candidate_invweight)(model)
+            model = _dc.replace(model, can_invweight=invweight)
+
         return CompiledModel(
             model=model,
             body_name2id=body_id,

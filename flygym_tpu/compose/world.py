@@ -25,7 +25,14 @@ from flygym_tpu.compose.spec import (
 )
 from flygym_tpu.utils.math import Rotation3D, Vec3
 
-__all__ = ["BaseWorld", "FlatGroundWorld", "TetheredWorld"]
+__all__ = [
+    "BaseWorld",
+    "FlatGroundWorld",
+    "HeightfieldTerrainWorld",
+    "BlocksTerrainWorld",
+    "GappedTerrainWorld",
+    "TetheredWorld",
+]
 
 
 class BaseWorld(BaseCompositionElement):
@@ -213,6 +220,122 @@ class FlatGroundWorld(BaseWorld):
             )
             self._spec.contact_sensors.append(sensor)
             self.legpos_to_groundcontactsensors_by_fly[fly.name][leg] = sensor
+
+
+class HeightfieldTerrainWorld(FlatGroundWorld):
+    """Flat-ground world whose floor is a heightfield z = h(x, y).
+
+    The reference v2 repo ships only flat/tethered worlds (complex terrain
+    moved to flygym-gymnasium, SURVEY.md §0); this implements the
+    NeuroMechFly rugged-terrain concept (BASELINE.json config 3) the
+    TPU-native way: a static height grid sampled bilinearly inside the jitted
+    step, with contact normals from the cell gradient.
+
+    Args:
+        name: World name.
+        heights: (nrow, ncol) height grid in mm (row = y, col = x).
+        xy0: World (x, y) of grid cell [0, 0].
+        cell: (dx, dy) grid spacing in mm.
+    """
+
+    def __init__(
+        self,
+        name: str = "heightfield_world",
+        *,
+        heights: "np.ndarray" = None,
+        xy0: tuple[float, float] = (-50.0, -50.0),
+        cell: tuple[float, float] = (1.0, 1.0),
+        half_size: float = 1000.0,
+    ) -> None:
+        import numpy as np
+
+        super().__init__(name=name, half_size=half_size)
+        if heights is None:
+            heights = np.zeros((2, 2), np.float32)
+        self._spec.hfield = {
+            "data": np.asarray(heights, np.float32),
+            "xy0": tuple(xy0),
+            "cell": tuple(cell),
+        }
+
+
+class BlocksTerrainWorld(HeightfieldTerrainWorld):
+    """Checkerboard of raised blocks (the NeuroMechFly "blocks" terrain).
+
+    Args:
+        block_size: Block edge length in mm.
+        height_range: (lo, hi) random block heights in mm.
+        extent: Terrain half-extent in mm.
+        resolution: Grid cells per mm (edges are one cell wide → steep but
+            finite slopes, the shape-static analog of beveled block edges).
+        rng_seed: Seed for the block height pattern.
+    """
+
+    def __init__(
+        self,
+        name: str = "blocks_terrain_world",
+        *,
+        block_size: float = 1.3,
+        height_range: tuple[float, float] = (0.2, 0.4),
+        extent: float = 40.0,
+        resolution: float = 4.0,
+        rng_seed: int = 0,
+    ) -> None:
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        n = int(2 * extent * resolution)
+        xs = (np.arange(n) / resolution) - extent
+        bx = np.floor(xs / block_size).astype(int)
+        n_blocks = bx.max() - bx.min() + 1
+        block_h = rng.uniform(*height_range, size=(n_blocks, n_blocks))
+        # Alternate raised blocks in a checkerboard, like NeuroMechFly.
+        ii, jj = np.meshgrid(np.arange(n_blocks), np.arange(n_blocks), indexing="ij")
+        block_h = np.where((ii + jj) % 2 == 0, block_h, 0.0)
+        heights = block_h[np.ix_(bx - bx.min(), bx - bx.min())].astype(np.float32)
+        super().__init__(
+            name=name,
+            heights=heights,
+            xy0=(-extent, -extent),
+            cell=(1.0 / resolution, 1.0 / resolution),
+        )
+
+
+class GappedTerrainWorld(HeightfieldTerrainWorld):
+    """Parallel gaps across the walking direction (NeuroMechFly "gapped").
+
+    Args:
+        gap_width: Gap width in mm.
+        block_width: Width of the solid ground strips in mm.
+        gap_depth: Depth of the gaps in mm.
+        extent: Terrain half-extent in mm.
+        resolution: Grid cells per mm.
+    """
+
+    def __init__(
+        self,
+        name: str = "gapped_terrain_world",
+        *,
+        gap_width: float = 0.4,
+        block_width: float = 1.0,
+        gap_depth: float = 2.0,
+        extent: float = 40.0,
+        resolution: float = 8.0,
+    ) -> None:
+        import numpy as np
+
+        n = int(2 * extent * resolution)
+        xs = (np.arange(n) / resolution) - extent
+        period = gap_width + block_width
+        in_gap = (xs % period) < gap_width
+        profile = np.where(in_gap, -gap_depth, 0.0).astype(np.float32)
+        heights = np.broadcast_to(profile[None, :], (n, n)).copy()
+        super().__init__(
+            name=name,
+            heights=heights,
+            xy0=(-extent, -extent),
+            cell=(1.0 / resolution, 1.0 / resolution),
+        )
 
 
 class TetheredWorld(BaseWorld):

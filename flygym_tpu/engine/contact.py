@@ -13,18 +13,19 @@ underneath the reference's ``mj_step``) with a shape-static TPU pipeline:
    zero force anyway).
 3. MuJoCo-compatible constraint dynamics: 4-row pyramidal friction cones per
    contact, per-row stiffness/damping from solref, impedance from solimp
-   (reference ``compose/physics.py:60-77``), reference acceleration
-   ``aref = -b v - k d(r) r`` and regularization R = (1-d)/d diag(A).
+   (reference ``compose/physics.py:60-77``). The regularizer scale
+   R = (1-d)/d * invweight uses inverse weights precomputed at the neutral
+   pose (MuJoCo's diagApprox strategy) — no per-step diag(J M⁻¹ Jᵀ) solves.
 4. Adhesion actuators apply their force (gain x ctrl, split across the
    body's active contacts) as a smooth generalized force along the inward
    contact normal — the same pathway real MuJoCo uses (qfrc_actuator), so the
    solver sees a standard f >= 0 problem.
-5. A **primal Newton solver** (MuJoCo's architecture): minimize
-   ½(a-a_s)ᵀM(a-a_s) + Σ ½ D_r jar_r² over active rows. The Hessian
-   M + JᵀDJ stays well-conditioned even with redundant contacts, each Newton
-   iteration is dense batched linear algebra (MXU work), and 2-3 iterations
-   with a 1D Newton line search converge for the fly's stiff contacts. A
-   projected block Gauss-Seidel fallback (``solver="pgs"``) is kept for
+5. A **primal Newton solver** (MuJoCo's architecture) tuned for TPU: the
+   active set is warm-started from the previous step's acceleration, the
+   Hessian M + JᵀDJ is factored ONCE per step (batched Cholesky is by far the
+   most expensive XLA op in the pipeline), and 2-3 quasi-Newton refinements
+   reuse the factor with exact gradients + a 1D Newton line search. A
+   projected Gauss-Seidel fallback (``solver="pgs"``) is kept for
    cross-checking.
 """
 
@@ -34,25 +35,74 @@ import jax.numpy as jnp
 from flygym_tpu.engine.maths import quat_rotate
 from flygym_tpu.engine.model import ActKind, PhysicsModel
 
-__all__ = ["contact_candidates", "solve_contacts", "ContactInfo"]
+__all__ = [
+    "contact_candidates",
+    "solve_contacts",
+    "compute_candidate_invweight",
+    "ContactInfo",
+]
+
+
+def ground_height_normal(model: PhysicsModel, xy: jnp.ndarray):
+    """Ground surface height and unit normal under (..., 2) xy positions.
+
+    Flat worlds return z = ground_pos_z with normal (0, 0, 1); heightfield
+    worlds sample the grid bilinearly and derive the normal from the cell
+    gradient (block/gap terrains use steep-but-finite edge slopes).
+    """
+    dtype = xy.dtype
+    if not model.has_hfield:
+        h = jnp.broadcast_to(model.ground_pos[2], xy.shape[:-1])
+        n = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], dtype), xy.shape[:-1] + (3,)
+        )
+        return h, n
+
+    data = model.hfield_data
+    nr, nc = data.shape
+    fx = (xy[..., 0] - model.hfield_xy0[0]) / model.hfield_cell[0]
+    fy = (xy[..., 1] - model.hfield_xy0[1]) / model.hfield_cell[1]
+    fx = jnp.clip(fx, 0.0, nc - 1.001)
+    fy = jnp.clip(fy, 0.0, nr - 1.001)
+    ix = jnp.floor(fx).astype(jnp.int32)
+    iy = jnp.floor(fy).astype(jnp.int32)
+    tx = fx - ix
+    ty = fy - iy
+    h00 = data[iy, ix]
+    h01 = data[iy, ix + 1]
+    h10 = data[iy + 1, ix]
+    h11 = data[iy + 1, ix + 1]
+    h = (
+        h00 * (1 - tx) * (1 - ty)
+        + h01 * tx * (1 - ty)
+        + h10 * (1 - tx) * ty
+        + h11 * tx * ty
+    )
+    dh_dx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / model.hfield_cell[0]
+    dh_dy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / model.hfield_cell[1]
+    n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return h, n
 
 
 def contact_candidates(model: PhysicsModel, gpos, gquat):
-    """Distances and world positions of all candidate contact points.
+    """Distances, positions, and normals of all candidate contact points.
 
     Returns:
-        dist: (ncand,) signed surface distance to the ground plane.
+        dist: (ncand,) signed surface distance to the ground.
         cpos: (ncand, 3) contact midpoint positions.
+        normal: (ncand, 3) ground normals at the contacts.
     """
     g = model.can_geom
     z_axis = quat_rotate(gquat[g], jnp.array([0.0, 0.0, 1.0], gpos.dtype))
     radius = model.geom_size[g, 0]
     halflen = model.geom_size[g, 1]
     endpoint = gpos[g] + model.can_end[:, None] * halflen[:, None] * z_axis
-    n = model.ground_normal
-    dist = (endpoint - model.ground_pos) @ n - radius
+    h, n = ground_height_normal(model, endpoint[:, :2])
+    # Signed distance along the local surface normal.
+    dist = (endpoint[:, 2] - h) * n[:, 2] - radius
     cpos = endpoint - (radius + 0.5 * dist)[:, None] * n
-    return dist, cpos
+    return dist, cpos, n
 
 
 def _impedance(solimp: jnp.ndarray, pos_err: jnp.ndarray) -> jnp.ndarray:
@@ -75,6 +125,73 @@ def _impedance(solimp: jnp.ndarray, pos_err: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(dmin + y * (dmax - dmin), 1e-4, 0.9999)
 
 
+def _contact_frames(normal: jnp.ndarray) -> jnp.ndarray:
+    """(K, 3) normals → (K, 3, 3) frames with rows [normal, t1, t2]."""
+    dtype = normal.dtype
+    ex = jnp.array([1.0, 0.0, 0.0], dtype)
+    ey = jnp.array([0.0, 1.0, 0.0], dtype)
+    # Pick the seed axis least aligned with the normal, per contact.
+    use_ey = jnp.abs(normal[:, 0]) > 0.9
+    seed = jnp.where(use_ey[:, None], ey, ex)
+    t1 = seed - jnp.sum(seed * normal, axis=-1, keepdims=True) * normal
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    t2 = jnp.cross(normal, t1)
+    return jnp.stack([normal, t1, t2], axis=1)
+
+
+def _contact_jacobian(model, body, cpos, S, ref, frame_k):
+    """(K, 3, nv) contact-frame Jacobian for contacts at cpos on bodies."""
+    rel = cpos - ref
+    jpoint = S[None, :, 3:] + jnp.cross(S[None, :, :3], rel[:, None, :])
+    affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
+    return jnp.einsum("kud,kvd->kuv", frame_k, jpoint * affects[:, :, None])
+
+
+def _pyramid_rows(J, mu):
+    """(K, 3, nv) contact frame Jacobian → (K, 4, nv) pyramid rows."""
+    Jn, Jt1, Jt2 = J[:, 0], J[:, 1], J[:, 2]
+    mu_ = mu[:, None]
+    return jnp.stack(
+        [Jn + mu_ * Jt1, Jn - mu_ * Jt1, Jn + mu_ * Jt2, Jn - mu_ * Jt2],
+        axis=1,
+    )
+
+
+def compute_candidate_invweight(model: PhysicsModel) -> jnp.ndarray:
+    """Per-candidate pyramid-row inverse weights at the neutral pose.
+
+    w_row = J_row M0⁻¹ J_rowᵀ with M0 the (damping-augmented) mass matrix at
+    qpos0 — evaluated once at compile time (the analog of MuJoCo computing
+    body_invweight0 in the model compiler).
+    """
+    from flygym_tpu.engine import dynamics
+    from flygym_tpu.engine.kinematics import (
+        dof_subspace,
+        geom_poses,
+        kinematics_full,
+    )
+
+    qpos = model.qpos0
+    xpos, xquat, hinge_xaxis = kinematics_full(model, qpos)
+    ref = xpos[model.ref_body]
+    S = dof_subspace(model, xpos, hinge_xaxis, ref)
+    I_body = dynamics.body_spatial_inertias(model, xpos, xquat, ref)
+    M = dynamics.crba(model, I_body, S)
+    Mh = M + model.timestep * jnp.diag(model.dof_damping)
+
+    gpos, gquat = geom_poses(model, xpos, xquat)
+    _dist, cpos, normal = contact_candidates(model, gpos, gquat)
+    frame = _contact_frames(normal)
+    J = _contact_jacobian(model, model.can_body, cpos, S, ref, frame)
+    mu = model.can_friction[:, 0]
+    Jp = _pyramid_rows(J, mu).reshape(-1, model.nv)
+
+    chol = jax.scipy.linalg.cho_factor(Mh)
+    X = jax.scipy.linalg.cho_solve(chol, Jp.T)
+    w = jnp.sum(Jp * X.T, axis=1)
+    return jnp.clip(w, 1e-12, None).reshape(model.ncand, 4)
+
+
 class ContactInfo:
     """Per-step selected-contact data passed to sensors/readouts."""
 
@@ -85,9 +202,9 @@ class ContactInfo:
 def solve_contacts(
     model: PhysicsModel,
     Mh: jnp.ndarray,
-    chol,
     qfrc_smooth: jnp.ndarray,
     qvel: jnp.ndarray,
+    qacc_warm: jnp.ndarray,
     xpos: jnp.ndarray,
     S: jnp.ndarray,
     gpos: jnp.ndarray,
@@ -98,43 +215,34 @@ def solve_contacts(
     """Detect contacts, apply adhesion, solve constraints.
 
     Args:
-        chol: Cholesky factorization of the (damping-augmented) mass matrix.
+        Mh: damping-augmented mass matrix (factored inside — exactly once).
         qfrc_smooth: smooth generalized forces excluding adhesion.
+        qacc_warm: previous step's acceleration (active-set warm start).
 
     Returns:
         qacc: (nv,) constrained acceleration.
         info: ContactInfo for sensors, or None when the model has no contacts.
     """
-    if model.ncand == 0:
-        qacc = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
-        return qacc, None
-
     dtype = qfrc_smooth.dtype
+    if model.ncand == 0:
+        chol = jax.scipy.linalg.cho_factor(Mh)
+        return jax.scipy.linalg.cho_solve(chol, qfrc_smooth), None
+
     K = model.ncon
-    dist_all, cpos_all = contact_candidates(model, gpos, gquat)
+    dist_all, cpos_all, normal_all = contact_candidates(model, gpos, gquat)
 
     # Top-K closest candidates (static shape compression).
     _, sel = jax.lax.top_k(-dist_all, K)
     dist = dist_all[sel]
     cpos = cpos_all[sel]
+    normal = normal_all[sel]
     margin = model.can_margin[sel]
     active = dist < margin
 
-    # Contact frame (x = normal, MuJoCo convention) + tangents.
-    n = model.ground_normal
-    t1 = jnp.array([1.0, 0.0, 0.0], dtype)
-    t1 = t1 - (t1 @ n) * n
-    t1 = t1 / jnp.linalg.norm(t1)
-    t2 = jnp.cross(n, t1)
-    frame = jnp.stack([n, t1, t2])  # (3, 3)
-    frame_k = jnp.broadcast_to(frame, (K, 3, 3))
-
-    # Contact-frame Jacobian (K, 3, nv), rows [n, t1, t2].
+    frame = _contact_frames(normal)  # (K, 3, 3)
     body = model.can_body[sel]
-    rel = cpos - ref
-    jpoint = S[None, :, 3:] + jnp.cross(S[None, :, :3], rel[:, None, :])
-    affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
-    J = jnp.einsum("kud,kvd->kuv", frame_k, jpoint * affects[:, :, None])
+    J = _contact_jacobian(model, body, cpos, S, ref, frame)
+    mu = model.can_friction[sel, 0]
 
     # Constraint dynamics parameters.
     solref = model.can_solref[sel]
@@ -145,7 +253,6 @@ def solve_contacts(
     tc, dr = solref[:, 0], solref[:, 1]
     b_gain = 2.0 / (dmax * tc)
     k_gain = 1.0 / (dmax * dmax * tc * tc * dr * dr)
-    mu = model.can_friction[sel, 0]
 
     # ---- adhesion as an applied generalized force (MuJoCo semantics) ----
     adh_act = model.can_adh_act[sel]
@@ -168,44 +275,30 @@ def solve_contacts(
             adh_total[adh_idx] / jnp.maximum(counts[adh_idx], 1.0),
             0.0,
         )
-    # Pull toward the surface: force -f n at the contact point.
     qfrc_adh = jnp.einsum("k,kv->v", -adh_force_per_contact, J[:, 0, :])
     qfrc_total = qfrc_smooth + qfrc_adh
-    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_total)
 
-    # ---- pyramidal rows (K, 4, nv): n ± mu t1, n ± mu t2 ----
-    Jn, Jt1, Jt2 = J[:, 0], J[:, 1], J[:, 2]
-    mu_ = mu[:, None]
-    Jp = jnp.stack(
-        [Jn + mu_ * Jt1, Jn - mu_ * Jt1, Jn + mu_ * Jt2, Jn - mu_ * Jt2],
-        axis=1,
-    )
-    m_rows = K * 4
-    Jp_flat = Jp.reshape(m_rows, model.nv)
-
-    vel_rows = Jp_flat @ qvel  # (4K,)
+    # ---- pyramid rows and row data ----
+    Jp = _pyramid_rows(J, mu).reshape(K * 4, model.nv)
+    vel_rows = Jp @ qvel
     pos_rows = jnp.repeat(pos_err, 4)
     imp_rows = jnp.repeat(imp, 4)
     aref = (
         -jnp.repeat(b_gain, 4) * vel_rows
         - jnp.repeat(k_gain, 4) * imp_rows * pos_rows
     )
-    row_active_mask = jnp.repeat(active, 4)
-
-    # Row regularization: R = (1-d)/d diag(A), D = 1/R.
-    X = jax.scipy.linalg.cho_solve(chol, Jp_flat.T)  # (nv, 4K)
-    diagA = jnp.clip(jnp.sum(Jp_flat * X.T, axis=1), 1e-12, None)
-    R = (1.0 - imp_rows) / imp_rows * diagA
-    D = jnp.where(row_active_mask, 1.0 / R, 0.0)
+    row_active = jnp.repeat(active, 4)
+    invweight = model.can_invweight[sel].reshape(-1)
+    R = (1.0 - imp_rows) / imp_rows * invweight
+    D = jnp.where(row_active, 1.0 / jnp.maximum(R, 1e-12), 0.0)
 
     if model.solver_type == "pgs":
-        lam = _solve_dual_pgs(
-            model, Jp_flat, X, D, aref, qacc_smooth, row_active_mask, K, dtype
+        qacc, lam = _solve_dual_pgs(
+            model, Mh, Jp, D, aref, qfrc_total, row_active, K, dtype
         )
-        qacc = qacc_smooth + X @ lam
     else:
-        qacc, lam, _jar = _solve_primal_newton(
-            model, Mh, Jp_flat, D, aref, qacc_smooth, qvel, dtype
+        qacc, lam = _solve_primal_newton(
+            model, Mh, Jp, D, aref, qfrc_total, qacc_warm, dtype
         )
 
     # Contact-frame constraint forces from the pyramid multipliers (the
@@ -216,7 +309,7 @@ def solve_contacts(
     ft1 = mu * (lam_k[:, 0] - lam_k[:, 1])
     ft2 = mu * (lam_k[:, 2] - lam_k[:, 3])
     f_con = jnp.stack([fn, ft1, ft2], axis=-1) * active[:, None]
-    f_world = f_con @ frame
+    f_world = jnp.einsum("kc,kcd->kd", f_con, frame)
 
     info = ContactInfo(
         sel=sel,
@@ -234,47 +327,46 @@ def solve_contacts(
     return qacc, info
 
 
-def _solve_primal_newton(model, Mh, Jp, D, aref, qacc_smooth, qvel, dtype):
-    """MuJoCo-style primal Newton with pyramidal cones.
+def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
+    """Warm-started primal Newton with a single Hessian factorization.
 
-    Minimizes c(a) = ½ (a - a_s)ᵀ Mh (a - a_s) + Σ_r ½ D_r jar_r² [jar_r < 0]
-    where jar = Jp a - aref. Non-negativity of the pyramid multipliers
-    λ_r = -D_r jar_r [jar_r < 0] is automatic. Each iteration: assemble the
-    active-set Hessian (one (nv, m) x (m, nv) matmul), factor, solve, then a
-    short 1D Newton line search on the exact piecewise-quadratic restriction.
+    Cost: c(a) = ½ aᵀ Mh a − aᵀ qfrc + Σ_r ½ D_r jar_r² [jar_r < 0],
+    jar = Jp a − aref (note Mh a_s = qfrc, so no smooth pre-solve is needed).
+    The active set from the warm-start acceleration fixes the Hessian
+    Mh + JpᵀWJp, factored once; refinement iterations reuse the factor with
+    exact gradients and a 6-step 1D Newton line search — a frozen-Hessian
+    semismooth Newton that converges for the fly's contact regime while
+    paying for exactly one batched Cholesky per physics step.
     """
     nv = model.nv
 
-    def M_mul(x):
-        return Mh @ x
-
-    a_s = qacc_smooth
-
-    def cost_grad_active(a):
+    def jar_active(a):
         jar = Jp @ a - aref
         act = (jar < 0.0).astype(dtype) * (D > 0.0)
         return jar, act
 
-    def newton_iter(a, _):
-        jar, act = cost_grad_active(a)
-        w = D * act
-        grad = M_mul(a - a_s) + Jp.T @ (w * jar)
-        # Hessian: Mh + Jpᵀ diag(w) Jp.
-        H = Mh + (Jp.T * w[None, :]) @ Jp
-        H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
-        cf = jax.scipy.linalg.cho_factor(H)
-        delta = -jax.scipy.linalg.cho_solve(cf, grad)
+    jar_w, act_w = jar_active(qacc_warm)
+    w = D * act_w
+    H = Mh + (Jp.T * w[None, :]) @ Jp
+    H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
+    chol = jax.scipy.linalg.cho_factor(H)
 
-        # Exact-ish line search: 1D Newton on φ(α) = c(a + α δ).
-        Jd = Jp @ delta  # (m,)
-        Md = M_mul(delta)
+    def newton_iter(a, _):
+        jar, act = jar_active(a)
+        wk = D * act
+        grad = Mh @ a - qfrc + Jp.T @ (wk * jar)
+        delta = -jax.scipy.linalg.cho_solve(chol, grad)
+
+        # 1D Newton line search on the exact piecewise-quadratic restriction.
+        Jd = Jp @ delta
+        Md = Mh @ delta
         dMd = delta @ Md
-        aMd = (a - a_s) @ Md
+        gMd = a @ Md - qfrc @ delta
 
         def ls_iter(alpha, _):
             jar_a = jar + alpha * Jd
             act_a = (jar_a < 0.0).astype(dtype) * (D > 0.0)
-            dphi = aMd + alpha * dMd + jnp.sum(D * act_a * jar_a * Jd)
+            dphi = gMd + alpha * dMd + jnp.sum(D * act_a * jar_a * Jd)
             ddphi = dMd + jnp.sum(D * act_a * Jd * Jd)
             return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
 
@@ -283,17 +375,20 @@ def _solve_primal_newton(model, Mh, Jp, D, aref, qacc_smooth, qvel, dtype):
         return a + alpha * delta, None
 
     a, _ = jax.lax.scan(
-        newton_iter, a_s, None, length=max(model.solver_iterations, 1)
+        newton_iter, qacc_warm, None, length=max(model.solver_iterations, 1)
     )
-    jar, act = cost_grad_active(a)
+    jar, act = jar_active(a)
     lam = jnp.maximum(-D * act * jar, 0.0)
-    return a, lam, jar
+    return a, lam
 
 
-def _solve_dual_pgs(model, Jp, X, D, aref, qacc_smooth, row_active, K, dtype):
+def _solve_dual_pgs(model, Mh, Jp, D, aref, qfrc, row_active, K, dtype):
     """Projected Gauss-Seidel on the pyramidal dual (λ >= 0). Verification
     fallback — many tiny sequential kernels."""
-    A = Jp @ X  # (4K, 4K)
+    chol = jax.scipy.linalg.cho_factor(Mh)
+    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc)
+    X = jax.scipy.linalg.cho_solve(chol, Jp.T)  # (nv, 4K)
+    A = Jp @ X
     R = jnp.where(D > 0, 1.0 / jnp.maximum(D, 1e-12), 0.0)
     b0 = Jp @ qacc_smooth - aref
     diag = jnp.clip(jnp.diag(A) + R, 1e-12, None)
@@ -311,6 +406,6 @@ def _solve_dual_pgs(model, Jp, X, D, aref, qacc_smooth, row_active, K, dtype):
         sweep,
         jnp.zeros((K * 4,), dtype),
         None,
-        length=max(model.solver_iterations, 4),
+        length=max(model.solver_iterations, 8),
     )
-    return lam
+    return qacc_smooth + X @ lam, lam

@@ -1,11 +1,19 @@
 """Forward kinematics and velocity propagation over the body tree.
 
-TPU-first design: the tree is processed level by level (tree depth ~11 for the
-fly vs 69 bodies), with all bodies of a level updated in one vectorized
-gather/compute/scatter. Under ``vmap`` each per-level op becomes a large
-batched op across worlds, which is where the throughput comes from (the same
-structure MJX uses, replacing the reference's per-step ``mj_kinematics`` C
-call, flygym ``simulation.py:76``).
+TPU-first design: tree recursions are restructured into a handful of large
+batched ops instead of long chains of tiny kernels (the serialized-kernel
+overhead, not FLOPs, dominates TPU step time for this model size):
+
+- **FK by pointer doubling**: all local joint transforms are built in one
+  vectorized pass, then composed along precomputed ancestor-jump tables
+  (``model.ancestor_jumps``: parent, grandparent, 4th ancestor, ...) in
+  O(log depth) rounds — 4 rounds for the fly's 10-deep tree, each one gather
+  + quaternion compose over all 70 bodies at once. This replaces the per-step
+  ``mj_kinematics`` C recursion behind the reference's ``simulation.py:76``.
+- **Velocities and bias accelerations as mask matmuls**: a body's spatial
+  velocity is the ancestor-masked sum of DoF subspace columns, so the whole
+  velocity pass is one ``(nbody, nv) @ (nv, 6)`` matmul; the velocity-product
+  (Coriolis) accumulation likewise uses the DoF-ancestor mask.
 
 Hinge semantics match MuJoCo: a body's world orientation is
 ``parent ∘ body_quat ∘ R(a1, q1) ∘ R(a2, q2) ∘ R(a3, q3)`` where the axes are
@@ -27,7 +35,13 @@ from flygym_tpu.engine.maths import (
 )
 from flygym_tpu.engine.model import PhysicsModel
 
-__all__ = ["forward_kinematics", "kinematics_full", "velocity_pass", "geom_poses"]
+__all__ = [
+    "forward_kinematics",
+    "kinematics_full",
+    "dof_subspace",
+    "velocity_pass",
+    "geom_poses",
+]
 
 
 def forward_kinematics(model: PhysicsModel, qpos: jnp.ndarray):
@@ -41,56 +55,74 @@ def forward_kinematics(model: PhysicsModel, qpos: jnp.ndarray):
     return xpos, xquat
 
 
-def kinematics_full(model: PhysicsModel, qpos: jnp.ndarray):
-    """FK that additionally returns per-hinge world axes.
+def _local_transforms(model: PhysicsModel, qpos: jnp.ndarray):
+    """Per-body local transform (pos, quat in parent frame) + hinge data.
 
-    The world axis of hinge k must be computed with the rotation accumulated
-    *before* that hinge is applied (rotating about an axis leaves the axis
-    itself invariant, so using the post-rotation frame of the same hinge is
-    equivalent — but later hinges in the same body are not).
+    Returns (lpos (nb,3), lquat (nb,4), hinge_prefix (nh,4) quaternions of
+    the within-body rotation accumulated *before* each hinge).
+    """
+    nb = model.nbody
+    dtype = qpos.dtype
+    identity = jnp.zeros((1, 4), dtype).at[0, 0].set(1.0)
+
+    if model.nhinge:
+        angles = qpos[model.hinge_qadr]
+        hq = quat_from_axis_angle(model.hinge_axis, angles)  # (nh, 4)
+        hq_pad = jnp.concatenate([hq, identity], axis=0)
+        idx = jnp.where(model.body_hinge_idx >= 0, model.body_hinge_idx, model.nhinge)
+        q0 = hq_pad[idx[:, 0]]  # (nb, 4)
+        q01 = quat_mul(q0, hq_pad[idx[:, 1]])
+        jq = quat_mul(q01, hq_pad[idx[:, 2]])
+
+        # Within-body prefix rotation before each hinge (slot 0: identity,
+        # slot 1: q0, slot 2: q0 ⊗ q1).
+        prefix_by_slot = jnp.stack(
+            [jnp.broadcast_to(identity[0], (nb, 4)), q0, q01], axis=1
+        )  # (nb, 3, 4)
+        hinge_prefix = prefix_by_slot[model.hinge_body, model.hinge_slot]
+    else:
+        jq = jnp.broadcast_to(identity[0], (nb, 4))
+        hinge_prefix = jnp.zeros((0, 4), dtype)
+
+    lquat = quat_mul(model.body_quat, jq)
+    lpos = model.body_pos
+
+    # Free bodies: local transform = qpos pose directly (parent is world).
+    for body, qadr, _vadr in model.free_joints:
+        lpos = lpos.at[body].set(qpos[qadr : qadr + 3])
+        lquat = lquat.at[body].set(qpos[qadr + 3 : qadr + 7])
+    return lpos, lquat, hinge_prefix
+
+
+def kinematics_full(model: PhysicsModel, qpos: jnp.ndarray):
+    """FK via pointer doubling; also returns per-hinge world axes.
+
+    The world axis of hinge k uses the rotation accumulated *before* that
+    hinge (rotating about an axis leaves the axis invariant, so including the
+    hinge's own rotation would be equivalent — but later hinges in the same
+    body are not).
 
     Returns:
         xpos: (nbody, 3), xquat: (nbody, 4), hinge_xaxis: (nhinge, 3).
     """
-    nb = model.nbody
-    xpos = jnp.zeros((nb, 3), qpos.dtype)
-    xquat = jnp.zeros((nb, 4), qpos.dtype).at[:, 0].set(1.0)
-    hinge_xaxis = jnp.zeros((model.nhinge, 3), qpos.dtype)
+    lpos, lquat, hinge_prefix = _local_transforms(model, qpos)
 
-    for level in model.levels[1:]:  # level 0 is the world body
-        idx = jnp.asarray(level, jnp.int32)
-        parent = model.body_parent[idx]
-        pos = xpos[parent] + quat_rotate(xquat[parent], model.body_pos[idx])
-        quat = quat_mul(xquat[parent], model.body_quat[idx])
+    # Compose along ancestor jumps: after round k, (pos, quat)[b] is the
+    # transform from b's 2^(k+1)-th ancestor (or world) to b.
+    pos, quat = lpos, lquat
+    for jump in model.ancestor_jumps:
+        anc = jnp.asarray(jump, jnp.int32)
+        pos = pos[anc] + quat_rotate(quat[anc], pos)
+        quat = quat_mul(quat[anc], quat)
+    xpos, xquat = pos, quat
 
-        # Free joints override the accumulated frame with qpos directly
-        # (free bodies are children of the world; spawn pose is in qpos0).
-        free_qadr = model.body_free_qadr[idx]
-        has_free = (free_qadr >= 0)[:, None]
-        safe_adr = jnp.maximum(free_qadr, 0)
-        gather = safe_adr[:, None] + jnp.arange(7)[None, :]
-        free_q = qpos[gather]  # (k, 7)
-        pos = jnp.where(has_free, free_q[:, :3], pos)
-        quat = jnp.where(has_free, free_q[:, 3:7], quat)
-
-        # Stacked hinge rotations (max 3 per body), applied in order.
-        for k in range(3 if model.nhinge else 0):
-            h = model.body_hinge_idx[idx, k]
-            valid = h >= 0
-            hs = jnp.maximum(h, 0)
-            angle = qpos[model.hinge_qadr[hs]]
-            axis_local = model.hinge_axis[hs]
-            axis_world = quat_rotate(quat, axis_local)
-            hinge_xaxis = hinge_xaxis.at[hs].set(
-                jnp.where(valid[:, None], axis_world, hinge_xaxis[hs])
-            )
-            rot = quat_from_axis_angle(axis_local, angle)
-            rotated = quat_mul(quat, rot)
-            quat = jnp.where(valid[:, None], rotated, quat)
-
-        xpos = xpos.at[idx].set(pos)
-        xquat = xquat.at[idx].set(quat)
-
+    if model.nhinge:
+        parent_q = xquat[model.body_parent[model.hinge_body]]
+        base = quat_mul(parent_q, model.body_quat[model.hinge_body])
+        pre = quat_mul(base, hinge_prefix)
+        hinge_xaxis = quat_rotate(pre, model.hinge_axis)
+    else:
+        hinge_xaxis = jnp.zeros((0, 3), qpos.dtype)
     return xpos, xquat, hinge_xaxis
 
 
@@ -109,7 +141,6 @@ def dof_subspace(
     nv = model.nv
     S = jnp.zeros((nv, 6), xpos.dtype)
 
-    # Hinges.
     if model.nhinge:
         anchor = xpos[model.hinge_body] - ref
         lin = jnp.cross(anchor, hinge_xaxis)
@@ -117,7 +148,6 @@ def dof_subspace(
             jnp.concatenate([hinge_xaxis, lin], axis=-1)
         )
 
-    # Free joints (static list, unrolled).
     eye = jnp.eye(3, dtype=xpos.dtype)
     zeros3 = jnp.zeros((3, 3), xpos.dtype)
     for body, _qadr, vadr in model.free_joints:
@@ -137,55 +167,39 @@ def velocity_pass(
     xpos: jnp.ndarray,
     S: jnp.ndarray,
 ):
-    """Propagate spatial velocities and velocity-product (bias) accelerations
-    down the tree.
+    """Spatial velocities and velocity-product (bias) accelerations.
+
+    cvel[b]   = Σ_{d ∈ ancestors(b)} S_d q̇_d                    (one matmul)
+    cacc_bias[b] = Σ_{d ∈ ancestors(b)} v_dof(d) ×̂ (S_d q̇_d)     (one matmul)
+    where v_dof(d) is the spatial velocity at DoF d's virtual body (sum over
+    its ancestor-or-self DoFs — the dof_ancestor_mask) — plus the exact
+    free-joint Ṡ q̇ term (0; ṗ × ω) broadcast over each free subtree.
 
     Returns:
-        cvel: (nbody, 6) spatial velocity of each body.
-        cacc_bias: (nbody, 6) bias acceleration (Ṡ q̇ terms accumulated from
-            the root; gravity NOT included).
+        cvel: (nbody, 6), cacc_bias: (nbody, 6).
     """
-    nb = model.nbody
-    cvel = jnp.zeros((nb, 6), qvel.dtype)
-    cacc = jnp.zeros((nb, 6), qvel.dtype)
+    Sqd = S * qvel[:, None]  # (nv, 6)
+    affects = model.body_subtree_mask[model.dof_body]  # (nv, nbody)
+    cvel = affects.T @ Sqd  # (nbody, 6)
 
-    for level in model.levels[1:]:
-        idx = jnp.asarray(level, jnp.int32)
-        parent = model.body_parent[idx]
-        v = cvel[parent]
-        c = cacc[parent]
+    # Velocity at each DoF's virtual body (ancestor-or-self sum).
+    v_dof = model.dof_ancestor_mask.T @ Sqd  # (nv, 6)
+    g = motion_cross(v_dof, Sqd)  # (nv, 6)
 
-        # Free joint contribution.
-        free_vadr = model.body_free_vadr[idx]
-        has_free = (free_vadr >= 0)[:, None]
-        safe = jnp.maximum(free_vadr, 0)
-        gather = safe[:, None] + jnp.arange(6)[None, :]
-        qv_free = qvel[gather]  # (k, 6): [v_lin(3), omega(3)]
-        v_lin, omega = qv_free[:, :3], qv_free[:, 3:]
-        p = xpos[idx] - xpos[model.ref_body]
-        # Spatial velocity at ref: (omega; v_lin + omega × (ref - p)).
-        lin_at_ref = v_lin + jnp.cross(omega, -p)
-        v_free = jnp.concatenate([omega, lin_at_ref], axis=-1)
-        v = v + jnp.where(has_free, v_free, 0.0)
-        # Free-joint Ṡ q̇ = (0; ṗ × ω).
-        c_free = jnp.concatenate(
-            [jnp.zeros_like(v_lin), jnp.cross(v_lin, omega)], axis=-1
-        )
-        c = c + jnp.where(has_free, c_free, 0.0)
+    # The generic formula applies to hinge DoFs; free-joint DoFs have their
+    # own exact term added below.
+    if model.free_joints:
+        hinge_mask = jnp.ones((model.nv,), qvel.dtype)
+        for _body, _qadr, vadr in model.free_joints:
+            hinge_mask = hinge_mask.at[vadr : vadr + 6].set(0.0)
+        g = g * hinge_mask[:, None]
+    cacc = affects.T @ g
 
-        # Hinge contributions, sequential within a body.
-        for k in range(3 if model.nhinge else 0):
-            h = model.body_hinge_idx[idx, k]
-            valid = (h >= 0)[:, None]
-            hs = jnp.maximum(h, 0)
-            vJ = S[model.hinge_vadr[hs]] * qvel[model.hinge_vadr[hs]][:, None]
-            v_new = v + jnp.where(valid, vJ, 0.0)
-            c = c + jnp.where(valid, motion_cross(v_new, vJ), 0.0)
-            v = v_new
-
-        cvel = cvel.at[idx].set(v)
-        cacc = cacc.at[idx].set(c)
-
+    for body, _qadr, vadr in model.free_joints:
+        v_lin = qvel[vadr : vadr + 3]
+        omega = qvel[vadr + 3 : vadr + 6]
+        c_free = jnp.concatenate([jnp.zeros(3, qvel.dtype), jnp.cross(v_lin, omega)])
+        cacc = cacc + model.body_subtree_mask[body][:, None] * c_free[None, :]
     return cvel, cacc
 
 

@@ -85,6 +85,10 @@ class PhysicsModel:
     solver_iterations: int = static_field()
     solver_relaxation: float = static_field()
     levels: tuple = static_field()  # tuple[tuple[int, ...]] body ids per tree depth
+    # Pointer-doubling ancestor tables: jumps[k][b] = ancestor of b at distance
+    # 2^k (clamped to the world body). FK composes transforms along these in
+    # O(log depth) rounds instead of O(depth) level sweeps.
+    ancestor_jumps: tuple = static_field()
     ref_body: int = static_field()  # Plücker reference body (fly-0 root)
     free_joints: tuple = static_field()  # tuple[(body, qadr, vadr)] per free joint
     geom_types: tuple = static_field()  # per-geom type strings (host-side use)
@@ -105,6 +109,7 @@ class PhysicsModel:
 
     # ---- hinge joints ----
     hinge_body: jnp.ndarray  # (nhinge,) i32
+    hinge_slot: jnp.ndarray  # (nhinge,) i32 position within the body (0..2)
     hinge_axis: jnp.ndarray  # (nhinge, 3) axis in child body frame
     hinge_qadr: jnp.ndarray  # (nhinge,) i32 address into qpos
     hinge_vadr: jnp.ndarray  # (nhinge,) i32 address into qvel
@@ -135,8 +140,19 @@ class PhysicsModel:
     can_margin: jnp.ndarray  # (ncand,)
     can_adh_act: jnp.ndarray  # (ncand,) i32 adhesion actuator or -1
     can_sensor: jnp.ndarray  # (ncand,) i32 contact sensor slot or -1
+    # Per-pyramid-row inverse weight J M0^-1 J^T at the neutral pose — the
+    # constraint regularizer scale, precomputed at compile like MuJoCo's
+    # body_invweight0/diagApprox so the solver needs no per-step diag(A).
+    can_invweight: jnp.ndarray  # (ncand, 4)
     ground_pos: jnp.ndarray  # (3,)
     ground_normal: jnp.ndarray  # (3,)
+    # Optional heightfield terrain overriding the flat ground (blocks / gaps /
+    # rugged worlds): z = hfield_data[iy, ix] sampled bilinearly over a grid
+    # anchored at hfield_xy0 with spacing hfield_cell.
+    has_hfield: bool = static_field()
+    hfield_data: jnp.ndarray  # (nrow, ncol)
+    hfield_xy0: jnp.ndarray  # (2,)
+    hfield_cell: jnp.ndarray  # (2,)
 
     # ---- actuators ----
     act_kind: jnp.ndarray  # (nu,) i32, see ActKind
@@ -173,6 +189,7 @@ class State:
     ctrl: jnp.ndarray  # (nu,)
     act: jnp.ndarray  # (na,)
     time: jnp.ndarray  # () f32
+    qacc: jnp.ndarray  # (nv,) last acceleration (constraint-solver warm start)
 
     # Cached outputs (world frame).
     xpos: jnp.ndarray  # (nbody, 3)
@@ -198,6 +215,7 @@ def make_initial_state(model: PhysicsModel) -> State:
         ctrl=ctrl,
         act=jnp.zeros((model.na,), jnp.float32),
         time=jnp.zeros((), jnp.float32),
+        qacc=jnp.zeros((model.nv,), jnp.float32),
         xpos=xpos,
         xquat=xquat,
         site_xpos=site_xpos,

@@ -3,7 +3,8 @@
 Produces the 16-dim layout the reference's contact sensors emit
 (``found, force(3), torque(3), pos(3), normal(3), tangent(3)``; decoded in
 flygym ``simulation.py:210-243``): forces/torques in the contact frame
-(x = normal), positions/normal/tangent in the world frame.
+(x = normal), positions/normal/tangent in the world frame. With rugged
+terrain, each sensor reports the force-weighted mean contact normal.
 """
 
 import jax.numpy as jnp
@@ -42,14 +43,36 @@ def contact_sensor_data(model: PhysicsModel, info) -> jnp.ndarray:
         pos_plain[:ns] / jnp.maximum(count[:ns, None], 1.0),
     )
 
-    # Net torque about the representative position, in contact-frame coords.
+    # Representative frame: weighted mean normal, re-orthogonalized tangent.
+    normals = info.frame[:, 0]  # (K, 3)
+    tangents = info.frame[:, 1]
+    n_sum = jnp.zeros((ns + 1, 3), dtype).at[slot].add(normals * w[:, None])
+    t_sum = jnp.zeros((ns + 1, 3), dtype).at[slot].add(tangents * w[:, None])
+    normal = n_sum[:ns]
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    default_n = jnp.array([0.0, 0.0, 1.0], dtype)
+    normal = jnp.where(norm > 1e-9, normal / jnp.maximum(norm, 1e-12), default_n)
+    tangent = t_sum[:ns]
+    tangent = tangent - jnp.sum(tangent * normal, -1, keepdims=True) * normal
+    tnorm = jnp.linalg.norm(tangent, axis=-1, keepdims=True)
+    default_t = jnp.array([1.0, 0.0, 0.0], dtype)
+    tangent = jnp.where(
+        tnorm > 1e-9, tangent / jnp.maximum(tnorm, 1e-12), default_t
+    )
+
+    # Net torque about the representative position, in the sensor frame.
     arm = info.pos - pos[jnp.clip(slot, 0, ns - 1)]
     torque_world = jnp.cross(arm, info.force_world) * w[:, None]
-    torque_w = jnp.zeros((ns + 1, 3), dtype).at[slot].add(torque_world)
-    torque_frame = torque_w[:ns] @ info.frame.T
-
-    normal = jnp.broadcast_to(info.frame[0], (ns, 3))
-    tangent = jnp.broadcast_to(info.frame[1], (ns, 3))
+    tw = jnp.zeros((ns + 1, 3), dtype).at[slot].add(torque_world)[:ns]
+    t2 = jnp.cross(normal, tangent)
+    torque_frame = jnp.stack(
+        [
+            jnp.sum(tw * normal, -1),
+            jnp.sum(tw * tangent, -1),
+            jnp.sum(tw * t2, -1),
+        ],
+        axis=-1,
+    )
 
     return jnp.concatenate(
         [

@@ -62,11 +62,20 @@ def step(model: PhysicsModel, state: State) -> State:
 
     # Implicit joint damping: solve (M + h diag(B)) a = f  (MuJoCo Euler).
     Mh = M + dt * jnp.diag(model.dof_damping)
-    chol = jax.scipy.linalg.cho_factor(Mh)
 
     # ---- contacts (adds adhesion forces, solves constraints) ----
     qacc, con_info = contact.solve_contacts(
-        model, Mh, chol, qfrc_smooth, qvel, xpos, S, gpos, gquat, ctrl, ref
+        model,
+        Mh,
+        qfrc_smooth,
+        qvel,
+        state.qacc,
+        xpos,
+        S,
+        gpos,
+        gquat,
+        ctrl,
+        ref,
     )
 
     # ---- integrate ----
@@ -94,6 +103,7 @@ def step(model: PhysicsModel, state: State) -> State:
         ctrl=ctrl,
         act=act_new,
         time=state.time + dt,
+        qacc=qacc,
         xpos=xpos,
         xquat=xquat,
         site_xpos=site_xpos,

@@ -301,6 +301,23 @@ class Simulation:
         return done
 
     # ------------------------------------------------------------------
+    # Checkpointing (SURVEY.md §5: keyframe + export analog, extended to
+    # full dynamic state save/restore)
+    # ------------------------------------------------------------------
+
+    def save_state(self, path) -> None:
+        """Write the current dynamic state to an npz checkpoint."""
+        from flygym_tpu.utils.checkpoint import save_state
+
+        save_state(self.state, path)
+
+    def load_state(self, path) -> None:
+        """Restore a dynamic state from an npz checkpoint."""
+        from flygym_tpu.utils.checkpoint import load_state
+
+        self.state = load_state(path)
+
+    # ------------------------------------------------------------------
     # Misc
     # ------------------------------------------------------------------
 

@@ -1,0 +1,138 @@
+"""Tests for the raycasting renderer: frames, time gating, buffering, video.
+
+Modeled on the reference's renderer tests (flygym ``tests/core/test_simulation.py``
+renderer smoke tests + ``tests/warp/test_rendering.py`` frame buffering and
+world selection) — but running on the CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+import flygym_tpu
+from flygym_tpu.anatomy import AxisOrder, JointPreset, Skeleton
+from flygym_tpu.compose import Fly, FlatGroundWorld, KinematicPosePreset
+from flygym_tpu.render.raycast import camera_rays
+from flygym_tpu.utils.math import Rotation3D
+
+FLY = "renderfly"
+
+
+@pytest.fixture(scope="module")
+def world():
+    fly = Fly(name=FLY)
+    fly.add_joints(
+        Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+        neutral_pose=KinematicPosePreset.NEUTRAL,
+    )
+    fly.colorize()
+    fly.add_tracking_camera()
+    world = FlatGroundWorld()
+    world.add_fly(fly, (0, 0, 2.0), Rotation3D("quat", (1, 0, 0, 0)))
+    return world
+
+
+@pytest.fixture(scope="module")
+def sim(world):
+    return flygym_tpu.Simulation(world)
+
+
+class TestCameraRays:
+    def test_shapes_and_norm(self):
+        rays = np.asarray(camera_rays(24, 32, 45.0))
+        assert rays.shape == (24, 32, 3)
+        assert np.allclose(np.linalg.norm(rays, axis=-1), 1.0, atol=1e-6)
+
+    def test_center_ray_forward(self):
+        rays = np.asarray(camera_rays(25, 33, 45.0))
+        assert np.allclose(rays[12, 16], [0, 0, -1], atol=0.03)
+
+
+class TestRenderer:
+    def test_render_frame(self, sim):
+        sim.reset()
+        renderer = sim.set_renderer("trackcam", camera_res=(60, 80))
+        frames = renderer.render(sim.state)
+        frame = next(iter(frames.values()))
+        assert frame.shape == (60, 80, 3)
+        assert frame.dtype == np.uint8
+        # The scene must show variation (fly + checkered ground + sky).
+        assert frame.std() > 10
+
+    def test_fly_visible_in_frame(self, sim):
+        sim.reset()
+        renderer = sim.set_renderer("trackcam", camera_res=(60, 80))
+        frame = next(iter(renderer.render(sim.state).values()))
+        # Center region should differ from the sky color at the top.
+        sky = frame[0, :5].mean(axis=(0, 1))
+        center = frame[25:40, 30:50].mean(axis=(0, 1))
+        assert np.abs(sky - center).max() > 10
+
+    def test_render_as_needed_gating(self, sim):
+        sim.reset()
+        renderer = sim.set_renderer(
+            "trackcam", camera_res=(24, 32), playback_speed=0.2, output_fps=25
+        )
+        renderer.reset()
+        n_rendered = 0
+        # interval = 1/(25/0.2) = 8 ms sim time = 80 steps at dt 1e-4.
+        for _ in range(170):
+            sim.step()
+            if sim.render_as_needed():
+                n_rendered += 1
+        assert n_rendered == 3  # t=0 (first), t=8ms, t=16ms
+        assert len(renderer.get_frames()) == 3
+
+    def test_reset_clears_buffer(self, sim):
+        sim.reset()
+        renderer = sim.set_renderer("trackcam", camera_res=(24, 32))
+        renderer.render(sim.state)
+        assert len(renderer.get_frames()) == 1
+        renderer.reset()
+        assert len(renderer.get_frames()) == 0
+
+    def test_unknown_camera_raises(self, sim):
+        with pytest.raises(ValueError):
+            sim.set_renderer("nonexistent_cam")
+
+    def test_save_video(self, sim, tmp_path):
+        sim.reset()
+        renderer = sim.set_renderer("trackcam", camera_res=(24, 32))
+        for _ in range(3):
+            renderer.render(sim.state)
+        out = tmp_path / "video.mp4"
+        renderer.save_video(out)
+        assert out.exists() or out.with_suffix(".gif").exists()
+
+
+class TestBatchRendering:
+    def test_batched_world_selection(self, world):
+        bsim = flygym_tpu.BatchSimulation(world, 3)
+        renderer = bsim.set_renderer(
+            "trackcam", camera_res=(24, 32), world_ids=[0, 2]
+        )
+        frames = renderer.render(bsim.state)
+        frame = next(iter(frames.values()))
+        assert frame.shape == (2, 24, 32, 3)
+        # Identical worlds → identical renders.
+        assert np.array_equal(frame[0], frame[1])
+
+    def test_grid_montage(self, world, tmp_path):
+        from flygym_tpu.utils.video import montage_grid
+
+        frames = np.random.randint(0, 255, (3, 24, 32, 3), np.uint8)
+        grid = montage_grid(frames, [0, 1, 2])
+        assert grid.shape == (48, 64, 3)
+
+
+class TestPreview:
+    def test_preview_model(self, world):
+        from flygym_tpu.render import preview_model
+
+        frame = preview_model(world, "trackcam", duration_s=0.002, camera_res=(24, 32))
+        assert frame.shape == (24, 32, 3)
+
+    def test_interactive_viewer_raises_headless(self, world):
+        from flygym_tpu.render import launch_interactive_viewer
+
+        with pytest.raises(NotImplementedError):
+            launch_interactive_viewer(world)
