@@ -7,6 +7,11 @@ export the model as MJCF.
 Run:  python examples/01_build_a_fly.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 import flygym_tpu

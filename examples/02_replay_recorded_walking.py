@@ -7,6 +7,11 @@ episode runs as one scanned XLA program.
 Run:  python examples/02_replay_recorded_walking.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import jax.numpy as jnp
 

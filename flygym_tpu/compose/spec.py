@@ -456,6 +456,39 @@ class ModelSpec:
                 elif bi in ancestors[bj]:
                     dof_ancestor_mask[i, j] = 1.0
 
+        # Tree-sparse LDL structure: each DoF's ancestor chain (strict, in
+        # root→self order), plus elimination (height) and solve (depth)
+        # level schedules (see engine/linalg.py).
+        dof_chains = [
+            sorted(
+                (j for j in range(nv) if j != i and dof_ancestor_mask[j, i] > 0)
+            )
+            for i in range(nv)
+        ]
+        maxc = max((len(c) for c in dof_chains), default=1) or 1
+        dof_anc = -np.ones((nv, maxc), i32)
+        for i, chain in enumerate(dof_chains):
+            dof_anc[i, : len(chain)] = chain
+        dof_depth = np.array([len(c) for c in dof_chains], i32)
+        dof_children: list[list[int]] = [[] for _ in range(nv)]
+        for i, chain in enumerate(dof_chains):
+            if chain:
+                dof_children[chain[-1]].append(i)
+        dof_height = np.zeros(nv, i32)
+        for i in sorted(range(nv), key=lambda i: -dof_depth[i]):
+            if dof_children[i]:
+                dof_height[i] = 1 + max(dof_height[c] for c in dof_children[i])
+        dof_height_levels = tuple(
+            lvl
+            for h in range(int(dof_height.max()) + 1 if nv else 0)
+            if (lvl := tuple(int(i) for i in np.nonzero(dof_height == h)[0]))
+        )
+        dof_depth_levels = tuple(
+            lvl
+            for d in range(int(dof_depth.max()) + 1 if nv else 0)
+            if (lvl := tuple(int(i) for i in np.nonzero(dof_depth == d)[0]))
+        )
+
         # --- geoms ---
         geoms: list[tuple[int, GeomSpec]] = [(0, g) for g in self.world_geoms]
         for b in ordered:
@@ -667,6 +700,8 @@ class ModelSpec:
             ancestor_jumps=ancestor_jumps,
             ref_body=int(ref_body),
             free_joints=tuple(free_joints),
+            dof_height_levels=dof_height_levels,
+            dof_depth_levels=dof_depth_levels,
             geom_types=tuple(geom_types),
             gravity=jnp.asarray(self.options["gravity"], jnp.float32),
             body_parent=jnp.asarray(body_parent),
@@ -692,6 +727,7 @@ class ModelSpec:
             dof_armature=jnp.asarray(dof_armature),
             dof_damping=jnp.asarray(dof_damping),
             dof_ancestor_mask=jnp.asarray(dof_ancestor_mask),
+            dof_anc=jnp.asarray(dof_anc),
             geom_body=jnp.asarray(geom_body),
             geom_pos=jnp.asarray(geom_pos),
             geom_quat=jnp.asarray(geom_quat),

@@ -223,10 +223,12 @@ def solve_contacts(
         qacc: (nv,) constrained acceleration.
         info: ContactInfo for sensors, or None when the model has no contacts.
     """
+    from flygym_tpu.engine.linalg import tree_ldl_factor, tree_ldl_solve
+
     dtype = qfrc_smooth.dtype
     if model.ncand == 0:
-        chol = jax.scipy.linalg.cho_factor(Mh)
-        return jax.scipy.linalg.cho_solve(chol, qfrc_smooth), None
+        factor = tree_ldl_factor(model, Mh)
+        return tree_ldl_solve(model, factor, qfrc_smooth), None
 
     K = model.ncon
     dist_all, cpos_all, normal_all = contact_candidates(model, gpos, gquat)
@@ -345,17 +347,23 @@ def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
         act = (jar < 0.0).astype(dtype) * (D > 0.0)
         return jar, act
 
+    from flygym_tpu.engine.linalg import tree_ldl_factor, tree_ldl_solve
+
     jar_w, act_w = jar_active(qacc_warm)
     w = D * act_w
     H = Mh + (Jp.T * w[None, :]) @ Jp
     H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
-    chol = jax.scipy.linalg.cho_factor(H)
+    # The contact Hessian keeps the kinematic tree's sparsity (each contact
+    # row touches one root-path), so the tree LDL applies — one factorization
+    # per step, ~tree-depth sequential levels instead of XLA's nv-step
+    # batched Cholesky.
+    factor = tree_ldl_factor(model, H)
 
     def newton_iter(a, _):
         jar, act = jar_active(a)
         wk = D * act
         grad = Mh @ a - qfrc + Jp.T @ (wk * jar)
-        delta = -jax.scipy.linalg.cho_solve(chol, grad)
+        delta = -tree_ldl_solve(model, factor, grad)
 
         # 1D Newton line search on the exact piecewise-quadratic restriction.
         Jd = Jp @ delta

@@ -91,6 +91,8 @@ class PhysicsModel:
     ancestor_jumps: tuple = static_field()
     ref_body: int = static_field()  # Plücker reference body (fly-0 root)
     free_joints: tuple = static_field()  # tuple[(body, qadr, vadr)] per free joint
+    dof_height_levels: tuple = static_field()  # DoFs grouped leaves → root
+    dof_depth_levels: tuple = static_field()  # DoFs grouped root → leaves
     geom_types: tuple = static_field()  # per-geom type strings (host-side use)
 
     # ---- bodies ----
@@ -122,6 +124,9 @@ class PhysicsModel:
     dof_armature: jnp.ndarray  # (nv,)
     dof_damping: jnp.ndarray  # (nv,)
     dof_ancestor_mask: jnp.ndarray  # (nv, nv) f32: [i, j]=1 if i ancestor-or-self of j
+    # Tree-sparse LDL structure (see engine/linalg.py): per-DoF ancestor
+    # chains and the elimination/solve level schedules.
+    dof_anc: jnp.ndarray  # (nv, C) i32, -1 padded, ancestors excluding self
 
     # ---- geoms (collision + rendering primitives) ----
     geom_body: jnp.ndarray  # (ngeom,) i32

@@ -62,19 +62,21 @@ def time_rollout(model, state, n_worlds, n_steps=100, reps=3):
 
 
 if __name__ == "__main__":
-    print("devices:", jax.devices())
+    import sys
 
-    print("== full model (ncon=32, iters=8) ==")
-    model, state = build_model()
-    for n in (256, 1024, 4096):
-        time_rollout(model, state, n)
+    print("devices:", jax.devices(), flush=True)
+    configs = sys.argv[1] if len(sys.argv) > 1 else "full"
 
-    print("== no contact (smooth dynamics only) ==")
-    model_nc, state_nc = build_model(no_contact=True)
-    for n in (256, 4096):
-        time_rollout(model_nc, state_nc, n)
-
-    print("== ncon=16, iters=4 ==")
-    model_s, state_s = build_model(solver_iters=4, ncon=16)
-    for n in (256, 4096):
-        time_rollout(model_s, state_s, n)
+    if configs in ("full", "all"):
+        print("== full model ==", flush=True)
+        model, state = build_model()
+        for n in (1024, 4096):
+            time_rollout(model, state, n)
+    if configs in ("nocontact", "all"):
+        print("== no contact (smooth dynamics only) ==", flush=True)
+        model_nc, state_nc = build_model(no_contact=True)
+        time_rollout(model_nc, state_nc, 1024)
+    if configs in ("small", "all"):
+        print("== ncon=16, iters=2 ==", flush=True)
+        model_s, state_s = build_model(solver_iters=2, ncon=16)
+        time_rollout(model_s, state_s, 1024)
