@@ -175,8 +175,8 @@ class ModelSpec:
         self.options: dict[str, Any] = {
             "timestep": 1e-4,
             "gravity": (0.0, 0.0, -9810.0),  # mm/s^2 (mujoco_globals.yaml:11)
-            "solver": "active_set",
-            "solver_iterations": 3,
+            "solver": "newton",
+            "solver_iterations": 2,
             "solver_relaxation": 1.0,
             "ncon_max": 32,
         }

@@ -365,21 +365,15 @@ def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
         grad = Mh @ a - qfrc + Jp.T @ (wk * jar)
         delta = -tree_ldl_solve(model, factor, grad)
 
-        # 1D Newton line search on the exact piecewise-quadratic restriction.
+        # Exact line search: the restricted cost is convex piecewise
+        # quadratic, so φ'(α) is increasing piecewise linear with breakpoints
+        # where rows toggle — solved in closed form with one sort + cumsums
+        # (fully parallel; no sequential 1D iteration).
         Jd = Jp @ delta
         Md = Mh @ delta
         dMd = delta @ Md
         gMd = a @ Md - qfrc @ delta
-
-        def ls_iter(alpha, _):
-            jar_a = jar + alpha * Jd
-            act_a = (jar_a < 0.0).astype(dtype) * (D > 0.0)
-            dphi = gMd + alpha * dMd + jnp.sum(D * act_a * jar_a * Jd)
-            ddphi = dMd + jnp.sum(D * act_a * Jd * Jd)
-            return alpha - dphi / jnp.maximum(ddphi, 1e-12), None
-
-        alpha, _ = jax.lax.scan(ls_iter, jnp.ones((), dtype), None, length=6)
-        alpha = jnp.clip(alpha, 0.0, 2.0)
+        alpha = _exact_linesearch(gMd, dMd, jar, Jd, D, dtype)
         return a + alpha * delta, None
 
     a, _ = jax.lax.scan(
@@ -388,6 +382,56 @@ def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
     jar, act = jar_active(a)
     lam = jnp.maximum(-D * act * jar, 0.0)
     return a, lam
+
+
+def _exact_linesearch(gMd, dMd, jar, Jd, D, dtype):
+    """Exact minimizer of φ(α) = c(a + α δ) along the Newton direction.
+
+    φ'(α) = (gMd + α dMd) + Σ_r [jar_r + α Jd_r < 0] D_r (jar_r + α Jd_r) Jd_r
+    is continuous, increasing (φ convex), and piecewise linear with
+    breakpoints b_r = -jar_r / Jd_r. Sort the breakpoints, build interval
+    coefficients by prefix/suffix sums, locate the sign change, solve the
+    affine piece. All parallel ops.
+    """
+    has_D = D > 0.0
+    p = D * jar * Jd  # per-row φ' intercept contribution when active
+    q = D * Jd * Jd  # per-row φ' slope contribution when active
+    crossing = has_D & (jnp.abs(Jd) > 1e-12)
+    active0 = has_D & (jar < 0.0)
+
+    # Rows that never toggle contribute constantly (by activity at any α).
+    base_p = jnp.sum(jnp.where(active0 & ~crossing, p, 0.0))
+    base_q = jnp.sum(jnp.where(active0 & ~crossing, q, 0.0))
+
+    big = jnp.asarray(1e30, dtype)
+    b = jnp.where(crossing, -jar / jnp.where(crossing, Jd, 1.0), big)
+    order = jnp.argsort(b)
+    bs = b[order]
+    ps = jnp.where(crossing, p, 0.0)[order]
+    qs = jnp.where(crossing, q, 0.0)[order]
+    # Jd > 0: jar(α) < 0 for α < b (active below its breakpoint).
+    below = (Jd > 0.0)[order]
+
+    ps_below, qs_below = ps * below, qs * below
+    ps_above, qs_above = ps * (~below), qs * (~below)
+    # Interval i lies between bs[i-1] and bs[i] (i = 0..m).
+    cum_pa = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(ps_above)])
+    cum_qa = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(qs_above)])
+    suf_pb = jnp.sum(ps_below) - jnp.concatenate(
+        [jnp.zeros(1, dtype), jnp.cumsum(ps_below)]
+    )
+    suf_qb = jnp.sum(qs_below) - jnp.concatenate(
+        [jnp.zeros(1, dtype), jnp.cumsum(qs_below)]
+    )
+    c0 = gMd + base_p + cum_pa + suf_pb  # (m+1,)
+    c1 = dMd + base_q + cum_qa + suf_qb
+
+    # φ' at each breakpoint (interval-k coefficients, right-continuous).
+    bs_safe = jnp.clip(bs, -1e6, 1e6)
+    dphi_at_b = c0[:-1] + c1[:-1] * bs_safe
+    interval = jnp.sum((dphi_at_b < 0.0).astype(jnp.int32))
+    alpha = -c0[interval] / jnp.maximum(c1[interval], 1e-12)
+    return jnp.clip(alpha, 0.0, 2.0)
 
 
 def _solve_dual_pgs(model, Mh, Jp, D, aref, qfrc, row_active, K, dtype):

@@ -24,3 +24,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the physics step traces to a large program
+# (tree-LDL levels, Newton iterations); caching compiled executables across
+# test runs cuts suite time dramatically.
+jax.config.update("jax_compilation_cache_dir", "/tmp/flygym_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -56,6 +56,15 @@ class TestVectorFlyEnv:
         assert not np.allclose(q[0], q[1])
 
 
+class TestVisionEnv:
+    def test_vision_observation(self):
+        env = VectorFlyEnv(enable_vision=True, decision_interval=2)
+        state = env.reset(jax.random.PRNGKey(0))
+        obs = env.observe(state)
+        assert obs["vision"].shape == (2, 721, 2)
+        assert float(obs["vision"].max()) <= 1.0
+
+
 class TestFlyEnv:
     def test_gymnasium_api(self):
         env = FlyEnv()

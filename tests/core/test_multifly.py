@@ -1,0 +1,115 @@
+"""Multi-fly worlds: two flies in one compiled model, independent control."""
+
+import numpy as np
+import pytest
+
+import flygym_tpu
+from flygym_tpu.anatomy import AxisOrder, JointPreset, Skeleton
+from flygym_tpu.compose import (
+    ActuatorType,
+    Fly,
+    FlatGroundWorld,
+    KinematicPosePreset,
+)
+from flygym_tpu.utils.math import Rotation3D
+
+
+def _make_fly(name):
+    fly = Fly(name=name)
+    fly.add_joints(
+        Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+        neutral_pose=KinematicPosePreset.NEUTRAL,
+    )
+    dofs = fly.skeleton.get_actuated_dofs_from_preset("legs_active_only")
+    fly.add_actuators(
+        dofs, ActuatorType.POSITION, kp=50.0,
+        neutral_input=KinematicPosePreset.NEUTRAL,
+    )
+    fly.add_leg_adhesion()
+    return fly
+
+
+@pytest.fixture(scope="module")
+def two_fly_sim():
+    world = FlatGroundWorld()
+    world.add_fly(_make_fly("alice"), (0, 0, 2.0), Rotation3D("quat", (1, 0, 0, 0)))
+    world.add_fly(_make_fly("bob"), (10, 0, 2.0), Rotation3D("quat", (1, 0, 0, 0)))
+    return flygym_tpu.Simulation(world)
+
+
+class TestTwoFlies:
+    def test_compiled_dimensions(self, two_fly_sim):
+        model = two_fly_sim.model
+        assert model.nbody == 1 + 2 * 69
+        assert model.nv == 2 * (6 + 66)
+        assert model.nu == 2 * 48
+        assert model.nsensor_contact == 12
+        assert len(model.free_joints) == 2
+
+    def test_independent_readouts(self, two_fly_sim):
+        sim = two_fly_sim
+        sim.reset()
+        pa = sim.get_body_positions("alice")
+        pb = sim.get_body_positions("bob")
+        assert pa.shape == pb.shape == (69, 3)
+        # Bob spawns 10 mm to the right.
+        assert np.allclose(pb[:, 0] - pa[:, 0], 10.0, atol=1e-5)
+
+    def test_independent_control(self, two_fly_sim):
+        sim = two_fly_sim
+        sim.reset()
+        sim.set_leg_adhesion_states("alice", np.ones(6))
+        sim.set_leg_adhesion_states("bob", np.ones(6))
+        neutral_a = sim.get_joint_angles("alice").copy()
+        targets = sim.get_joint_angles("bob")[
+            [i for i, d in enumerate(
+                sim.world.fly_lookup["bob"].get_jointdofs_order())
+             ]
+        ]
+        # Drive only bob's joints away from neutral.
+        order_act = sim.world.fly_lookup["bob"].get_actuated_jointdofs_order(
+            ActuatorType.POSITION
+        )
+        sim.set_actuator_inputs("bob", ActuatorType.POSITION,
+                                np.full(len(order_act), 0.5, np.float32))
+        for _ in range(200):
+            sim.step()
+        # Alice's joints stay near neutral posture; bob's moved.
+        da = np.abs(sim.get_joint_angles("alice") - neutral_a).max()
+        order_all = sim.world.fly_lookup["bob"].get_jointdofs_order()
+        db = np.abs(sim.get_joint_angles("bob") -
+                    sim.get_joint_angles("alice")).max()
+        assert db > 0.05  # flies diverged
+        assert np.isfinite(sim.get_joint_angles("alice")).all()
+
+    def test_both_settle_with_contacts(self, two_fly_sim):
+        sim = two_fly_sim
+        sim.reset()
+        sim.set_leg_adhesion_states("alice", np.ones(6))
+        sim.set_leg_adhesion_states("bob", np.ones(6))
+        sim.warmup(0.06)
+        found_a, *_ = sim.get_ground_contact_info("alice")
+        found_b, *_ = sim.get_ground_contact_info("bob")
+        assert found_a.sum() + found_b.sum() >= 8
+
+
+class TestConfigApplier:
+    def test_yaml_options(self, tmp_path):
+        from flygym_tpu.compose.spec import ModelSpec
+        from flygym_tpu.utils.config import apply_physics_options
+
+        path = tmp_path / "globals.yaml"
+        path.write_text(
+            "option:\n"
+            "  timestep: 2e-4\n"
+            "  gravity: [0, 0, -9000]\n"
+            "solver_iterations: 5\n"
+            "custom_flag: 7\n"
+        )
+        spec = ModelSpec("cfg")
+        applied = apply_physics_options(spec, path)
+        assert spec.options["timestep"] == 2e-4
+        assert spec.options["gravity"] == (0, 0, -9000)
+        assert spec.options["solver_iterations"] == 5
+        assert spec.options["extra"]["custom_flag"] == 7
+        assert "timestep" in applied
