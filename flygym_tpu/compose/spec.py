@@ -178,7 +178,7 @@ class ModelSpec:
             "solver": "newton",
             "solver_iterations": 2,
             "solver_relaxation": 1.0,
-            "ncon_max": 32,
+            "ncon_max": None,  # None -> 16 per attached fly
         }
         # Neutral keyframe ingredients, keyed by full identifiers.
         self.neutral_joint_qpos: dict[str, list[float]] = {}
@@ -677,7 +677,13 @@ class ModelSpec:
         for act_name, value in self.neutral_ctrl.items():
             ctrl0[act_name2idx[act_name]] = value
 
-        ncon = min(int(self.options["ncon_max"]), ncand) if ncand else 0
+        ncon_max = self.options["ncon_max"]
+        if ncon_max is None:
+            # Auto: 16 contact slots per root subtree (a fly touches the
+            # ground with at most ~12 capsule ends during locomotion).
+            n_roots = max(sum(1 for b in self.bodies if b.parent is None), 1)
+            ncon_max = 16 * n_roots
+        ncon = min(int(ncon_max), ncand) if ncand else 0
         ref_body = free_joints[0][0] if free_joints else min(nb - 1, 1)
 
         model = PhysicsModel(

@@ -384,54 +384,52 @@ def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
     return a, lam
 
 
+_LS_GRID = None
+
+
+def _ls_grid(dtype):
+    # Candidate step sizes: dense near the full Newton step (α = 1).
+    global _LS_GRID
+    if _LS_GRID is None:
+        import numpy as _np
+
+        _LS_GRID = _np.array(
+            [0.0, 0.05, 0.1, 0.2, 0.3, 0.45, 0.6, 0.75, 0.85, 0.95, 1.0,
+             1.1, 1.25, 1.5, 1.75, 2.0],
+            _np.float32,
+        )
+    return jnp.asarray(_LS_GRID, dtype)
+
+
 def _exact_linesearch(gMd, dMd, jar, Jd, D, dtype):
-    """Exact minimizer of φ(α) = c(a + α δ) along the Newton direction.
+    """Near-exact minimizer of φ(α) = c(a + α δ) along the Newton direction.
 
     φ'(α) = (gMd + α dMd) + Σ_r [jar_r + α Jd_r < 0] D_r (jar_r + α Jd_r) Jd_r
-    is continuous, increasing (φ convex), and piecewise linear with
-    breakpoints b_r = -jar_r / Jd_r. Sort the breakpoints, build interval
-    coefficients by prefix/suffix sums, locate the sign change, solve the
-    affine piece. All parallel ops.
+    is continuous and increasing (φ convex). Evaluate φ' on a fixed candidate
+    grid *in parallel* (one batched op over candidates × rows — no sorting
+    and no sequential 1D iteration, both of which serialize poorly on TPU),
+    find the bracketing pair, and interpolate the root linearly (φ' is
+    piecewise linear, so this is exact whenever no breakpoint falls inside
+    the bracket, and tightly bounded otherwise).
     """
-    has_D = D > 0.0
-    p = D * jar * Jd  # per-row φ' intercept contribution when active
-    q = D * Jd * Jd  # per-row φ' slope contribution when active
-    crossing = has_D & (jnp.abs(Jd) > 1e-12)
-    active0 = has_D & (jar < 0.0)
+    alphas = _ls_grid(dtype)  # (G,)
+    jar_a = jar[None, :] + alphas[:, None] * Jd[None, :]  # (G, m)
+    act = (jar_a < 0.0) & (D > 0.0)[None, :]
+    dphi = (
+        gMd
+        + alphas * dMd
+        + jnp.sum(jnp.where(act, D[None, :] * jar_a * Jd[None, :], 0.0), axis=1)
+    )  # (G,)
 
-    # Rows that never toggle contribute constantly (by activity at any α).
-    base_p = jnp.sum(jnp.where(active0 & ~crossing, p, 0.0))
-    base_q = jnp.sum(jnp.where(active0 & ~crossing, q, 0.0))
-
-    big = jnp.asarray(1e30, dtype)
-    b = jnp.where(crossing, -jar / jnp.where(crossing, Jd, 1.0), big)
-    order = jnp.argsort(b)
-    bs = b[order]
-    ps = jnp.where(crossing, p, 0.0)[order]
-    qs = jnp.where(crossing, q, 0.0)[order]
-    # Jd > 0: jar(α) < 0 for α < b (active below its breakpoint).
-    below = (Jd > 0.0)[order]
-
-    ps_below, qs_below = ps * below, qs * below
-    ps_above, qs_above = ps * (~below), qs * (~below)
-    # Interval i lies between bs[i-1] and bs[i] (i = 0..m).
-    cum_pa = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(ps_above)])
-    cum_qa = jnp.concatenate([jnp.zeros(1, dtype), jnp.cumsum(qs_above)])
-    suf_pb = jnp.sum(ps_below) - jnp.concatenate(
-        [jnp.zeros(1, dtype), jnp.cumsum(ps_below)]
-    )
-    suf_qb = jnp.sum(qs_below) - jnp.concatenate(
-        [jnp.zeros(1, dtype), jnp.cumsum(qs_below)]
-    )
-    c0 = gMd + base_p + cum_pa + suf_pb  # (m+1,)
-    c1 = dMd + base_q + cum_qa + suf_qb
-
-    # φ' at each breakpoint (interval-k coefficients, right-continuous).
-    bs_safe = jnp.clip(bs, -1e6, 1e6)
-    dphi_at_b = c0[:-1] + c1[:-1] * bs_safe
-    interval = jnp.sum((dphi_at_b < 0.0).astype(jnp.int32))
-    alpha = -c0[interval] / jnp.maximum(c1[interval], 1e-12)
-    return jnp.clip(alpha, 0.0, 2.0)
+    # Last grid index with φ' < 0 (φ' increasing). If none: α = 0.
+    neg = dphi < 0.0
+    idx = jnp.sum(neg.astype(jnp.int32)) - 1
+    idx = jnp.clip(idx, 0, alphas.shape[0] - 2)
+    lo, hi = alphas[idx], alphas[idx + 1]
+    dlo, dhi = dphi[idx], dphi[idx + 1]
+    t = -dlo / jnp.maximum(dhi - dlo, 1e-12)
+    alpha = lo + jnp.clip(t, 0.0, 1.0) * (hi - lo)
+    return jnp.where(jnp.any(neg), alpha, jnp.zeros((), dtype))
 
 
 def _solve_dual_pgs(model, Mh, Jp, D, aref, qfrc, row_active, K, dtype):

@@ -87,7 +87,7 @@ class TestTwoFlies:
         sim.reset()
         sim.set_leg_adhesion_states("alice", np.ones(6))
         sim.set_leg_adhesion_states("bob", np.ones(6))
-        sim.warmup(0.06)
+        sim.warmup(0.15)  # settle through the initial bounce
         found_a, *_ = sim.get_ground_contact_info("alice")
         found_b, *_ = sim.get_ground_contact_info("bob")
         assert found_a.sum() + found_b.sum() >= 8
