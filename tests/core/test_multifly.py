@@ -85,12 +85,19 @@ class TestTwoFlies:
     def test_both_settle_with_contacts(self, two_fly_sim):
         sim = two_fly_sim
         sim.reset()
-        sim.set_leg_adhesion_states("alice", np.ones(6))
-        sim.set_leg_adhesion_states("bob", np.ones(6))
-        sim.warmup(0.15)  # settle through the initial bounce
+        # Strong adhesion latches all feet (weak adhesion legitimately leaves
+        # some legs hovering microns above the ground mid-settle).
+        sim.set_leg_adhesion_states("alice", np.full(6, 100.0))
+        sim.set_leg_adhesion_states("bob", np.full(6, 100.0))
+        sim.warmup(0.15)
         found_a, *_ = sim.get_ground_contact_info("alice")
         found_b, *_ = sim.get_ground_contact_info("bob")
         assert found_a.sum() + found_b.sum() >= 8
+        # Both flies standing at the same height (identical independent
+        # physics).
+        za = sim.get_body_positions("alice")[0, 2]
+        zb = sim.get_body_positions("bob")[0, 2]
+        assert abs(za - zb) < 0.05
 
 
 class TestConfigApplier:
