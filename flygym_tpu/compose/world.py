@@ -78,6 +78,26 @@ class BaseWorld(BaseCompositionElement):
         rigidly attached)."""
         raise NotImplementedError
 
+    def add_object(
+        self,
+        name: str,
+        pos: Vec3,
+        *,
+        radius: float = 2.0,
+        rgba: tuple = (0.05, 0.05, 0.05, 1.0),
+    ) -> GeomSpec:
+        """Add a static visual object (sphere) to the world.
+
+        Visible to cameras and the ommatidia retina (visual-taxis targets);
+        not collidable (like the reference, collisions are explicit pairs
+        only).
+        """
+        geom = GeomSpec(
+            name=name, type="sphere", size=(radius,), pos=tuple(pos), rgba=rgba
+        )
+        self._spec.world_geoms.append(geom)
+        return geom
+
     def add_fly(
         self,
         fly: Fly,

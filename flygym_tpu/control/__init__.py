@@ -6,6 +6,7 @@ from flygym_tpu.control.cpg import (
     tripod_phase_biases,
 )
 from flygym_tpu.control.hybrid import HybridController, HybridState
+from flygym_tpu.control.taxis import VisualTaxisController, object_azimuth_drive
 
 __all__ = [
     "CPGNetwork",
@@ -15,4 +16,6 @@ __all__ = [
     "tripod_phase_biases",
     "HybridController",
     "HybridState",
+    "VisualTaxisController",
+    "object_azimuth_drive",
 ]

@@ -328,7 +328,7 @@ class FlyEnv:
             jnp.float32,
         )
         mask = jnp.asarray(
-            [1.0 if t == "capsule" else 0.0 for t in model.geom_types],
+            [1.0 if t in ("capsule", "sphere") else 0.0 for t in model.geom_types],
             jnp.float32,
         )
         frame = render_pixels(

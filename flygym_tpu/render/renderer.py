@@ -67,7 +67,7 @@ class Renderer:
 
         # Geoms rendered: capsules only (planes handled analytically).
         capsule_mask = np.array(
-            [1.0 if t == "capsule" else 0.0 for t in model.geom_types], np.float32
+            [1.0 if t in ("capsule", "sphere") else 0.0 for t in model.geom_types], np.float32
         )
         self._capsule_mask = jnp.asarray(capsule_mask)
         self._render_fn = jax.jit(self._render_one_camera, static_argnums=(0,))

@@ -148,7 +148,7 @@ class Retina:
         gpos, gquat = geom_poses(model, state.xpos, state.xquat)
         capsule_mask = jnp.asarray(
             np.array(
-                [1.0 if t == "capsule" else 0.0 for t in model.geom_types],
+                [1.0 if t in ("capsule", "sphere") else 0.0 for t in model.geom_types],
                 np.float32,
             )
         )
