@@ -319,6 +319,9 @@ class Fly(BaseCompositionElement):
                 ctrlrange=kwargs.get("ctrlrange"),
                 forcerange=forcerange,
                 forcelimited=forcelimited,
+                dynprm=kwargs.get("dynprm"),
+                muscleprm=kwargs.get("gainprm"),
+                lengthrange=kwargs.get("lengthrange"),
                 extra=dict(kwargs),
             )
             self._spec.actuators.append(actuator)
@@ -526,5 +529,13 @@ def _actuator_gains(actuator_type: ActuatorType, kwargs: dict) -> tuple[float, f
         return float(kwargs.get("kp", 1.0)), float(kwargs.get("kv", 0.0))
     if actuator_type == ActuatorType.DAMPER:
         return float(kwargs.get("kv", 1.0)), 0.0
-    # motor / cylinder / muscle approximations.
-    return float(kwargs.get("gear", 1.0)), 0.0
+    if actuator_type == ActuatorType.CYLINDER:
+        area = kwargs.get("area")
+        if area is None and (d := kwargs.get("diameter")) is not None:
+            import math
+
+            area = math.pi * d * d / 4.0
+        return float(area if area is not None else 1.0), 0.0
+    if actuator_type == ActuatorType.MUSCLE:
+        return 1.0, 0.0  # muscle force comes from the FLV model
+    return float(kwargs.get("gear", 1.0)), 0.0  # motor

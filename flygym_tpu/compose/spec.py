@@ -116,6 +116,10 @@ class ActuatorSpec(_Element):
     ctrlrange: tuple | None = None
     forcerange: tuple | None = None
     forcelimited: bool = False
+    # Activation dynamics / muscle parameters (None -> MuJoCo defaults).
+    dynprm: tuple | None = None
+    muscleprm: tuple | None = None
+    lengthrange: tuple | None = None
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -537,9 +541,8 @@ class ModelSpec:
             "intvelocity": ActKind.INTVELOCITY,
             "damper": ActKind.DAMPER,
             "adhesion": ActKind.ADHESION,
-            # Affine approximations for the remaining MuJoCo types (round 1).
-            "cylinder": ActKind.MOTOR,
-            "muscle": ActKind.MOTOR,
+            "cylinder": ActKind.CYLINDER,
+            "muscle": ActKind.MUSCLE,
         }
         act_kind = np.zeros(nu, i32)
         act_hinge = -np.ones(nu, i32)
@@ -551,6 +554,14 @@ class ModelSpec:
         act_forcerange = np.zeros((nu, 2), f32)
         act_forcelimited = np.zeros(nu, f32)
         act_actadr = -np.ones(nu, i32)
+        act_dynprm = np.zeros((nu, 3), f32)
+        # MuJoCo muscle gainprm defaults:
+        # (range0, range1, force, scale, lmin, lmax, vmax, fpmax, fvmax)
+        act_muscleprm = np.tile(
+            np.array([0.75, 1.05, -1.0, 200.0, 0.5, 1.6, 1.5, 1.3, 1.2], f32),
+            (nu, 1),
+        )
+        act_lengthrange = np.tile(np.array([-1.5, 1.5], f32), (nu, 1))
         act_name2idx = {}
         na = 0
         for ai, a in enumerate(self.actuators):
@@ -567,9 +578,23 @@ class ModelSpec:
             if a.forcerange is not None and a.forcelimited:
                 act_forcerange[ai] = a.forcerange
                 act_forcelimited[ai] = 1.0
-            if kind_codes[a.kind] == ActKind.INTVELOCITY:
+            if kind_codes[a.kind] in (
+                ActKind.INTVELOCITY,
+                ActKind.CYLINDER,
+                ActKind.MUSCLE,
+            ):
                 act_actadr[ai] = na
                 na += 1
+            if a.kind == "cylinder":
+                act_dynprm[ai] = (1.0, 0.0, 0.0)  # MuJoCo cylinder timeconst
+            elif a.kind == "muscle":
+                act_dynprm[ai] = (0.01, 0.04, 0.0)  # tau_act, tau_deact
+            if a.dynprm is not None:
+                act_dynprm[ai, : len(a.dynprm)] = a.dynprm
+            if a.muscleprm is not None:
+                act_muscleprm[ai, : len(a.muscleprm)] = a.muscleprm
+            if a.lengthrange is not None:
+                act_lengthrange[ai] = a.lengthrange
             act_name2idx[a.full_identifier] = ai
 
         # --- contact candidate table ---
@@ -708,6 +733,7 @@ class ModelSpec:
             free_joints=tuple(free_joints),
             dof_height_levels=dof_height_levels,
             dof_depth_levels=dof_depth_levels,
+            dof_chains=tuple(tuple(c) for c in dof_chains),
             geom_types=tuple(geom_types),
             gravity=jnp.asarray(self.options["gravity"], jnp.float32),
             body_parent=jnp.asarray(body_parent),
@@ -772,23 +798,35 @@ class ModelSpec:
             act_forcerange=jnp.asarray(act_forcerange),
             act_forcelimited=jnp.asarray(act_forcelimited),
             act_actadr=jnp.asarray(act_actadr),
+            act_dynprm=jnp.asarray(act_dynprm),
+            act_muscleprm=jnp.asarray(act_muscleprm),
+            act_lengthrange=jnp.asarray(act_lengthrange),
+            act_acc0=jnp.ones((nu,), jnp.float32),
             site_body=jnp.asarray(site_body),
             site_pos=jnp.asarray(site_pos),
             qpos0=jnp.asarray(qpos0),
             ctrl0=jnp.asarray(ctrl0),
         )
 
+        import dataclasses as _dc
+
+        import jax as _jax
+
         if ncand:
             # Precompute constraint inverse weights at the neutral pose (the
             # analog of MuJoCo's compile-time body_invweight0).
-            import dataclasses as _dc
-
-            import jax as _jax
-
             from flygym_tpu.engine.contact import compute_candidate_invweight
 
             invweight = _jax.jit(compute_candidate_invweight)(model)
             model = _dc.replace(model, can_invweight=invweight)
+
+        if any(a.kind == "muscle" for a in self.actuators):
+            # acc0: |qacc| per unit actuator force at qpos0 (MuJoCo's
+            # compile-time acceleration scaling for muscle peak force).
+            from flygym_tpu.engine.contact import compute_actuator_acc0
+
+            acc0 = _jax.jit(compute_actuator_acc0)(model)
+            model = _dc.replace(model, act_acc0=acc0)
 
         return CompiledModel(
             model=model,
@@ -839,7 +877,8 @@ class ModelSpec:
         g = self.options["gravity"]
         w(f'<mujoco model="{self.name}">\n')
         w('  <compiler angle="radian" autolimits="true" '
-          f'boundmass="{_BOUND_MASS}" boundinertia="{_BOUND_INERTIA}"/>\n')
+          f'boundmass="{_BOUND_MASS}" boundinertia="{_BOUND_INERTIA}">'
+          '<lengthrange mode="none"/></compiler>\n')
         w(
             f'  <option timestep="{self.options["timestep"]}" '
             f'gravity="{g[0]} {g[1]} {g[2]}" integrator="Euler" '
@@ -984,7 +1023,28 @@ class ModelSpec:
                 elif a.kind == "motor":
                     attrs.append(f'gear="{a.gain}"')
                     w(f"    <motor {' '.join(attrs)}/>\n")
-                else:  # damper, intvelocity, ... best-effort
+                elif a.kind == "muscle":
+                    # Emit as <general> with muscle gain/bias/dyn types; the
+                    # golden tests set actuator_lengthrange/acc0 post-compile
+                    # (estimation is disabled via <lengthrange mode=none>).
+                    mp = a.muscleprm or (
+                        0.75, 1.05, -1.0, 200.0, 0.5, 1.6, 1.5, 1.3, 1.2
+                    )
+                    dp = a.dynprm or (0.01, 0.04, 0.0)
+                    gp = " ".join(str(x) for x in mp)
+                    w(
+                        f"    <general {' '.join(attrs)} dyntype=\"muscle\" "
+                        f'gaintype="muscle" biastype="muscle" '
+                        f'dynprm="{dp[0]} {dp[1]} {dp[2]}" '
+                        f'gainprm="{gp}" biasprm="{gp}"/>\n'
+                    )
+                elif a.kind == "cylinder":
+                    dp = a.dynprm or (1.0, 0.0, 0.0)
+                    w(
+                        f"    <cylinder {' '.join(attrs)} area=\"{a.gain}\" "
+                        f'timeconst="{dp[0]}"/>\n'
+                    )
+                else:  # damper, intvelocity best-effort
                     w(f"    <{a.kind} {' '.join(attrs)}/>\n")
             w("  </actuator>\n")
 

@@ -192,6 +192,35 @@ def compute_candidate_invweight(model: PhysicsModel) -> jnp.ndarray:
     return jnp.clip(w, 1e-12, None).reshape(model.ncand, 4)
 
 
+def compute_actuator_acc0(model: PhysicsModel) -> jnp.ndarray:
+    """|qacc| per unit actuator force at the neutral pose, per actuator.
+
+    MuJoCo's compile-time ``acc0`` used by the muscle model to auto-scale
+    peak force (``force = scale / acc0`` when gainprm force < 0).
+    """
+    from flygym_tpu.engine import dynamics
+    from flygym_tpu.engine.kinematics import dof_subspace, kinematics_full
+
+    qpos = model.qpos0
+    xpos, xquat, hinge_xaxis = kinematics_full(model, qpos)
+    ref = xpos[model.ref_body]
+    S = dof_subspace(model, xpos, hinge_xaxis, ref)
+    I_body = dynamics.body_spatial_inertias(model, xpos, xquat, ref)
+    M = dynamics.crba(model, I_body, S)
+    Mh = M + model.timestep * jnp.diag(model.dof_damping)
+    chol = jax.scipy.linalg.cho_factor(Mh)
+
+    hs = jnp.maximum(model.act_hinge, 0)
+    moments = jnp.zeros((model.nu, model.nv), jnp.float32)
+    if model.nhinge:
+        rows = jnp.arange(model.nu)
+        moments = moments.at[rows, model.hinge_vadr[hs]].set(
+            jnp.where(model.act_hinge >= 0, 1.0, 0.0)
+        )
+    qacc = jax.scipy.linalg.cho_solve(chol, moments.T)  # (nv, nu)
+    return jnp.linalg.norm(qacc.T, axis=1)
+
+
 class ContactInfo:
     """Per-step selected-contact data passed to sensors/readouts."""
 
@@ -223,12 +252,14 @@ def solve_contacts(
         qacc: (nv,) constrained acceleration.
         info: ContactInfo for sensors, or None when the model has no contacts.
     """
-    from flygym_tpu.engine.linalg import tree_ldl_factor, tree_ldl_solve
+    from flygym_tpu.ops.ldl_pallas import make_tree_ldl_ops
+
+    factor_op, solve_op = make_tree_ldl_ops(model)
 
     dtype = qfrc_smooth.dtype
     if model.ncand == 0:
-        factor = tree_ldl_factor(model, Mh)
-        return tree_ldl_solve(model, factor, qfrc_smooth), None
+        L, d = factor_op(Mh)
+        return solve_op(L, d, qfrc_smooth), None
 
     K = model.ncon
     dist_all, cpos_all, normal_all = contact_candidates(model, gpos, gquat)
@@ -300,7 +331,16 @@ def solve_contacts(
         )
     else:
         qacc, lam = _solve_primal_newton(
-            model, Mh, Jp, D, aref, qfrc_total, qacc_warm, dtype
+            model,
+            Mh,
+            Jp,
+            D,
+            aref,
+            qfrc_total,
+            qacc_warm,
+            dtype,
+            factor_op,
+            solve_op,
         )
 
     # Contact-frame constraint forces from the pyramid multipliers (the
@@ -329,7 +369,9 @@ def solve_contacts(
     return qacc, info
 
 
-def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
+def _solve_primal_newton(
+    model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype, factor_op, solve_op
+):
     """Warm-started primal Newton with a single Hessian factorization.
 
     Cost: c(a) = ½ aᵀ Mh a − aᵀ qfrc + Σ_r ½ D_r jar_r² [jar_r < 0],
@@ -347,38 +389,34 @@ def _solve_primal_newton(model, Mh, Jp, D, aref, qfrc, qacc_warm, dtype):
         act = (jar < 0.0).astype(dtype) * (D > 0.0)
         return jar, act
 
-    from flygym_tpu.engine.linalg import tree_ldl_factor, tree_ldl_solve
-
     jar_w, act_w = jar_active(qacc_warm)
     w = D * act_w
     H = Mh + (Jp.T * w[None, :]) @ Jp
     H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
     # The contact Hessian keeps the kinematic tree's sparsity (each contact
     # row touches one root-path), so the tree LDL applies — one factorization
-    # per step, ~tree-depth sequential levels instead of XLA's nv-step
-    # batched Cholesky.
-    factor = tree_ldl_factor(model, H)
+    # per step; under vmap this dispatches to the Pallas kernel
+    # (ops/ldl_pallas.py) that unrolls the whole elimination in VMEM.
+    L_fac, d_fac = factor_op(H)
 
-    def newton_iter(a, _):
+    # Unrolled Newton refinements (solver_iterations is static and small;
+    # unrolling also keeps the custom_vmap solve op out of a lax.scan body,
+    # where closed-over batched tracers are not supported).
+    a = qacc_warm
+    for _ in range(max(model.solver_iterations, 1)):
         jar, act = jar_active(a)
         wk = D * act
         grad = Mh @ a - qfrc + Jp.T @ (wk * jar)
-        delta = -tree_ldl_solve(model, factor, grad)
+        delta = -solve_op(L_fac, d_fac, grad)
 
-        # Exact line search: the restricted cost is convex piecewise
-        # quadratic, so φ'(α) is increasing piecewise linear with breakpoints
-        # where rows toggle — solved in closed form with one sort + cumsums
-        # (fully parallel; no sequential 1D iteration).
+        # Near-exact line search on the convex piecewise-quadratic
+        # restriction (parallel grid evaluation, see _exact_linesearch).
         Jd = Jp @ delta
         Md = Mh @ delta
         dMd = delta @ Md
         gMd = a @ Md - qfrc @ delta
         alpha = _exact_linesearch(gMd, dMd, jar, Jd, D, dtype)
-        return a + alpha * delta, None
-
-    a, _ = jax.lax.scan(
-        newton_iter, qacc_warm, None, length=max(model.solver_iterations, 1)
-    )
+        a = a + alpha * delta
     jar, act = jar_active(a)
     lam = jnp.maximum(-D * act * jar, 0.0)
     return a, lam

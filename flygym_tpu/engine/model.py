@@ -50,8 +50,8 @@ class ActKind:
     INTVELOCITY = 3
     DAMPER = 4
     ADHESION = 5
-    # CYLINDER and MUSCLE are accepted by the composition layer but lowered to
-    # affine approximations in round 1 (see compose/fly.py).
+    CYLINDER = 6  # first-order-filter activation, force = gain * act
+    MUSCLE = 7  # MuJoCo muscle model: FLV curves + activation dynamics
 
 
 @_register
@@ -93,6 +93,7 @@ class PhysicsModel:
     free_joints: tuple = static_field()  # tuple[(body, qadr, vadr)] per free joint
     dof_height_levels: tuple = static_field()  # DoFs grouped leaves → root
     dof_depth_levels: tuple = static_field()  # DoFs grouped root → leaves
+    dof_chains: tuple = static_field()  # per-DoF ancestor chains (static)
     geom_types: tuple = static_field()  # per-geom type strings (host-side use)
 
     # ---- bodies ----
@@ -169,7 +170,15 @@ class PhysicsModel:
     act_ctrllimited: jnp.ndarray  # (nu,) f32 mask
     act_forcerange: jnp.ndarray  # (nu, 2)
     act_forcelimited: jnp.ndarray  # (nu,) f32 mask
-    act_actadr: jnp.ndarray  # (nu,) i32 activation slot (intvelocity) or -1
+    act_actadr: jnp.ndarray  # (nu,) i32 activation slot or -1
+    # Activation dynamics params: [tau_act, tau_deact, _] (muscle) or
+    # [tau, _, _] (cylinder); zeros otherwise.
+    act_dynprm: jnp.ndarray  # (nu, 3)
+    # Muscle gain params (MuJoCo gainprm layout):
+    # [range0, range1, force, scale, lmin, lmax, vmax, fpmax, fvmax].
+    act_muscleprm: jnp.ndarray  # (nu, 9)
+    act_lengthrange: jnp.ndarray  # (nu, 2) actuator length range (muscles)
+    act_acc0: jnp.ndarray  # (nu,) |qacc| per unit force at qpos0 (muscles)
 
     # ---- sites ----
     site_body: jnp.ndarray  # (nsite,) i32
