@@ -1,4 +1,4 @@
-"""Primitive raycaster: renders the capsule/plane scene entirely in XLA.
+"""Primitive raycaster: renders the capsule/plane/heightfield scene in XLA.
 
 Replaces the reference's GPU batch raytracer (MuJoCo-Warp
 ``create_render_context`` / ``refit_bvh`` / ``render``, flygym
@@ -84,6 +84,66 @@ def _ray_plane(origin, direction, plane_z=0.0):
     return jnp.where(hit, t, _BIG), hit
 
 
+def _ray_heightfield(model, origins, directions, n_march=64, n_bisect=14):
+    """Ray vs heightfield z = h(x, y) by bracketed march + bisection.
+
+    The terrain lives between the planes z = hmin and z = hmax, so each ray
+    only needs marching inside that slab — the bracket is a few mm tall for
+    the fly terrains, giving sub-micron resolution after bisection. All
+    iteration counts are static (TPU-friendly; no while loops).
+
+    Returns (t, normal): hit distance ((R,), inf for miss) and the bilinear
+    surface normal at the hit ((R, 3)).
+    """
+    from flygym_tpu.engine.contact import ground_height_normal
+
+    dtype = origins.dtype
+    hmax = jnp.max(model.hfield_data) + 1e-4
+    hmin = jnp.min(model.hfield_data) - 1e-4
+    oz = origins[..., 2]
+    dz = directions[..., 2]
+    safe_dz = jnp.where(jnp.abs(dz) < 1e-9, jnp.where(dz < 0, -1e-9, 1e-9), dz)
+    t_top = (hmax - oz) / safe_dz
+    t_bot = (hmin - oz) / safe_dz
+    # Slab interval along the ray, clipped to forward and to a far cap (the
+    # fog distance; near-horizontal rays inside the slab march this far).
+    far = jnp.asarray(80.0, dtype)
+    t0 = jnp.clip(jnp.minimum(t_top, t_bot), 0.0, far)
+    t1 = jnp.clip(jnp.maximum(t_top, t_bot), 0.0, far)
+    inside = (oz > hmin) & (oz < hmax)
+    t1 = jnp.where(inside & (jnp.abs(dz) < 1e-3), far, t1)
+    valid = t1 > t0
+
+    def f_of(t):
+        # t: (R, M) march samples; signed height above the surface.
+        p = origins[..., None, :] + t[..., :, None] * directions[..., None, :]
+        h, _ = ground_height_normal(model, p[..., :2])
+        return p[..., 2] - h
+
+    # Coarse march: first sample with f < 0 (below the surface).
+    fracs = jnp.linspace(0.0, 1.0, n_march, dtype=dtype)
+    ts = t0[..., None] + (t1 - t0)[..., None] * fracs  # (R, n_march)
+    fs = f_of(ts)
+    below = fs < 0.0
+    any_hit = valid & jnp.any(below, axis=-1)
+    first = jnp.argmax(below, axis=-1)  # first True (0 if none)
+    lo_i = jnp.maximum(first - 1, 0)
+    t_lo = jnp.take_along_axis(ts, lo_i[..., None], axis=-1)[..., 0]
+    t_hi = jnp.take_along_axis(ts, first[..., None], axis=-1)[..., 0]
+
+    # Bisection refinement on the bracketed crossing.
+    for _ in range(n_bisect):
+        t_mid = 0.5 * (t_lo + t_hi)
+        f_mid = f_of(t_mid[..., None])[..., 0]
+        t_lo = jnp.where(f_mid >= 0.0, t_mid, t_lo)
+        t_hi = jnp.where(f_mid >= 0.0, t_hi, t_mid)
+
+    t = jnp.where(any_hit, 0.5 * (t_lo + t_hi), _BIG)
+    hit_xy = (origins + t[..., None] * directions)[..., :2]
+    _, normal = ground_height_normal(model, hit_xy)
+    return t, normal
+
+
 def raycast_scene(
     model: PhysicsModel,
     gpos: jnp.ndarray,
@@ -123,7 +183,13 @@ def raycast_scene(
     t_geom = jnp.min(t_caps, axis=1)
     idx_geom = jnp.argmin(t_caps, axis=1)
 
-    t_plane, _ = _ray_plane(origins, directions, float(0.0))
+    if model.has_hfield:
+        t_plane, n_ground = _ray_heightfield(model, origins, directions)
+    else:
+        t_plane, _ = _ray_plane(origins, directions, float(0.0))
+        n_ground = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], gpos.dtype), origins.shape
+        )
 
     t = jnp.minimum(t_geom, t_plane)
     geom_idx = jnp.where(
@@ -143,10 +209,7 @@ def raycast_scene(
     n_caps = n_caps / jnp.maximum(
         jnp.linalg.norm(n_caps, axis=-1, keepdims=True), 1e-12
     )
-    n_plane = jnp.broadcast_to(
-        jnp.array([0.0, 0.0, 1.0], gpos.dtype), n_caps.shape
-    )
-    normal = jnp.where((geom_idx >= 0)[:, None], n_caps, n_plane)
+    normal = jnp.where((geom_idx >= 0)[:, None], n_caps, n_ground)
     return t, geom_idx, normal
 
 

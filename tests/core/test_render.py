@@ -136,3 +136,84 @@ class TestPreview:
 
         with pytest.raises(NotImplementedError):
             launch_interactive_viewer(world)
+
+
+class TestHeightfieldRaycast:
+    """Terrain rendering: the raycaster must hit z = h(x, y), not a flat
+    plane (reference renders terrain meshes through its GPU raytracer)."""
+
+    @pytest.fixture(scope="class")
+    def hfield_world(self):
+        from flygym_tpu.compose import HeightfieldTerrainWorld
+
+        heights = np.zeros((40, 40), np.float32)
+        heights[:, 20:] = 1.5  # step up at x = 0
+        fly = Fly(name=FLY)
+        fly.add_joints(
+            Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_tracking_camera()
+        world = HeightfieldTerrainWorld(
+            heights=heights, xy0=(-20.0, -20.0), cell=(1.0, 1.0)
+        )
+        world.add_fly(fly, (0, 0, 30.0), Rotation3D("quat", (1, 0, 0, 0)))
+        return world
+
+    def test_vertical_rays_hit_surface_height(self, hfield_world):
+        import jax.numpy as jnp
+
+        from flygym_tpu.engine.kinematics import geom_poses, kinematics_full
+        from flygym_tpu.render.raycast import raycast_scene
+
+        model, state = hfield_world.compile()
+        gpos, gquat = geom_poses(model, state.xpos, state.xquat)
+        origins = jnp.array(
+            [[-10.0, -10.0, 20.0], [10.0, -10.0, 20.0]], jnp.float32
+        )
+        dirs = jnp.array([[0, 0, -1.0], [0, 0, -1.0]], jnp.float32)
+        mask = jnp.zeros(model.ngeom)  # terrain only
+        t, geom_idx, normal = raycast_scene(model, gpos, gquat, origins, dirs, mask)
+        t = np.asarray(t)
+        assert np.all(np.asarray(geom_idx) == -1)
+        assert abs(t[0] - 20.0) < 1e-2  # low side: h = 0
+        assert abs(t[1] - 18.5) < 1e-2  # raised side: h = 1.5
+        assert np.allclose(np.asarray(normal), [0, 0, 1], atol=1e-3)
+
+    def test_oblique_ray_hits_step_wall(self, hfield_world):
+        import jax.numpy as jnp
+
+        from flygym_tpu.engine.kinematics import geom_poses
+        from flygym_tpu.render.raycast import raycast_scene
+
+        model, state = hfield_world.compile()
+        gpos, gquat = geom_poses(model, state.xpos, state.xquat)
+        # Horizontal-ish ray skimming at z = 0.75 toward the raised half:
+        # must stop near the step wall at x ~ 0, not pass to infinity.
+        origins = jnp.array([[-5.0, -10.0, 0.75]], jnp.float32)
+        dirs = jnp.array([[1.0, 0, 0]], jnp.float32)
+        mask = jnp.zeros(model.ngeom)
+        t, geom_idx, _ = raycast_scene(model, gpos, gquat, origins, dirs, mask)
+        assert int(geom_idx[0]) == -1
+        assert 4.0 < float(t[0]) < 6.5
+
+    def test_render_blocks_terrain_frame(self):
+        from flygym_tpu.compose import BlocksTerrainWorld
+
+        fly = Fly(name=FLY)
+        fly.add_joints(
+            Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_tracking_camera()
+        world = BlocksTerrainWorld(rng_seed=3)
+        world.add_fly(fly, (0, 0, 2.0), Rotation3D("quat", (1, 0, 0, 0)))
+        sim = flygym_tpu.Simulation(world)
+        renderer = sim.set_renderer("trackcam", camera_res=(48, 64))
+        frame = next(iter(renderer.render(sim.state).values()))
+        assert frame.shape == (48, 64, 3)
+        # Blocks terrain shades with varying normals: the ground region must
+        # show more structure than a flat checkered plane would at this
+        # scale (block edges produce dark/bright seams).
+        ground = frame[30:, :].astype(np.float32)
+        assert ground.std() > 5
