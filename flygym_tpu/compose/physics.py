@@ -35,6 +35,10 @@ class ContactParams:
     sliding_friction: float = 1.0
     torsional_friction: float = 2e-2
     rolling_friction: float = 1e-4
+    # Contact dimensionality: 1 frictionless, 3 sliding (reference default,
+    # flygym ``physics.py`` pairs compile at condim 3), 4 + torsional,
+    # 6 + rolling.
+    condim: int = 3
 
     # Constraint-correction spring-damper (solref).
     solver_refaccl_timeconst: float = 2e-4

@@ -127,6 +127,7 @@ class ActuatorSpec(_Element):
 class PairSpec:
     geom1: str  # capsule geom full name
     geom2: str  # plane geom full name
+    condim: int = 3  # 1 frictionless | 3 sliding | 4 +torsional | 6 +rolling
     friction: tuple = (1.0, 1.0, 0.005, 1e-4, 1e-4)
     solref: tuple = (0.02, 1.0)
     solimp: tuple = (0.9, 0.95, 1e-3, 0.5, 2.0)  # dmin dmax width midpoint power
@@ -702,6 +703,22 @@ class ModelSpec:
         for act_name, value in self.neutral_ctrl.items():
             ctrl0[act_name2idx[act_name]] = value
 
+        # Model-wide contact dimensionality (static pyramid-row count).
+        condims = {p.condim for p in self.pairs} or {3}
+        bad = condims - {1, 3, 4, 6}
+        if bad:
+            raise ValueError(f"Unsupported condim values: {sorted(bad)}")
+        condim = max(condims)
+        if len(condims) > 1:
+            import warnings
+
+            warnings.warn(
+                f"Mixed pair condims {sorted(condims)}: compiling all "
+                f"contacts at condim {condim} (row counts are static); "
+                "per-pair friction coefficients are still honored."
+            )
+        nrows_per_con = {1: 1, 3: 4, 4: 6, 6: 10}[condim]
+
         ncon_max = self.options["ncon_max"]
         if ncon_max is None:
             # Auto: 16 contact slots per root subtree (a fly touches the
@@ -722,6 +739,7 @@ class ModelSpec:
             ngeom=ng,
             ncand=ncand,
             ncon=ncon,
+            condim=condim,
             nsensor_contact=len(self.contact_sensors),
             timestep=float(self.options["timestep"]),
             solver_type=str(self.options["solver"]),
@@ -774,7 +792,7 @@ class ModelSpec:
             can_margin=jnp.asarray(can_margin),
             can_adh_act=jnp.asarray(can_adh_act),
             can_sensor=jnp.asarray(can_sensor),
-            can_invweight=jnp.ones((ncand, 4), jnp.float32),
+            can_invweight=jnp.ones((ncand, nrows_per_con), jnp.float32),
             ground_pos=jnp.zeros(3, jnp.float32),
             ground_normal=jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
             has_hfield=self.hfield is not None,
@@ -989,6 +1007,7 @@ class ModelSpec:
                 si_ = " ".join(str(x) for x in pair.solimp)
                 w(
                     f'    <pair geom1="{pair.geom1}" geom2="{pair.geom2}" '
+                    f'condim="{pair.condim}" '
                     f'friction="{fr}" solref="{sr}" solimp="{si_}" '
                     f'margin="{pair.margin}"/>\n'
                 )

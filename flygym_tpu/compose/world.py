@@ -210,6 +210,7 @@ class FlatGroundWorld(BaseWorld):
                     geom1=geom.full_identifier,
                     geom2=self.ground_geom.full_identifier,
                     name=f"{segment.name}-ground",
+                    condim=params.condim,
                     friction=friction,
                     solref=solref,
                     solimp=solimp,

@@ -11,7 +11,7 @@ underneath the reference's ``mj_step``) with a shape-static TPU pipeline:
 2. Top-K compression: only the ``ncon`` closest candidates are handed to the
    solver (static shapes; anything farther than the contact margin produces
    zero force anyway).
-3. MuJoCo-compatible constraint dynamics: 4-row pyramidal friction cones per
+3. MuJoCo-compatible constraint dynamics: pyramidal friction cones per
    contact, per-row stiffness/damping from solref, impedance from solimp
    (reference ``compose/physics.py:60-77``). The regularizer scale
    R = (1-d)/d * invweight uses inverse weights precomputed at the neutral
@@ -139,37 +139,73 @@ def _contact_frames(normal: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([normal, t1, t2], axis=1)
 
 
+def n_pyramid_rows(condim: int) -> int:
+    """Pyramid rows per contact: 2 per friction direction (1 if condim 1)."""
+    return max(1, 2 * (condim - 1))
+
+
 def _contact_jacobian(model, body, cpos, S, ref, frame_k):
-    """(K, 3, nv) contact-frame Jacobian for contacts at cpos on bodies."""
+    """(K, 3, nv) contact-frame translational Jacobian at cpos on bodies."""
     rel = cpos - ref
     jpoint = S[None, :, 3:] + jnp.cross(S[None, :, :3], rel[:, None, :])
     affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
     return jnp.einsum("kud,kvd->kuv", frame_k, jpoint * affects[:, :, None])
 
 
-def _pyramid_rows(J, mu):
-    """(K, 3, nv) contact frame Jacobian → (K, 4, nv) pyramid rows."""
-    Jn, Jt1, Jt2 = J[:, 0], J[:, 1], J[:, 2]
-    mu_ = mu[:, None]
-    return jnp.stack(
-        [Jn + mu_ * Jt1, Jn - mu_ * Jt1, Jn + mu_ * Jt2, Jn - mu_ * Jt2],
-        axis=1,
-    )
+def _contact_jacobian_ang(model, body, S, frame_k):
+    """(K, 3, nv) contact-frame rotational Jacobian (for condim > 3 rows:
+    torsion about the normal, rolling about the tangents)."""
+    affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
+    return jnp.einsum(
+        "kud,vd->kuv", frame_k, S[:, :3]
+    ) * affects[:, None, :]
+
+
+def _pyramid_rows(J, J_ang, fric, condim):
+    """Contact-frame Jacobians → (K, nrows, nv) pyramid edge rows.
+
+    MuJoCo pyramidal cone (``engine_core_constraint.c``): two rows
+    Jn ± mu_i J_i per friction direction. Directions by condim:
+    3 → (t1, t2) with sliding mu; 4 → + torsion about n with torsional mu;
+    6 → + rolling about t1/t2 with rolling mu. condim 1 → the normal row.
+
+    Args:
+        J: (K, 3, nv) translational rows [n, t1, t2].
+        J_ang: (K, 3, nv) rotational rows [about n, t1, t2] or None.
+        fric: (K, 3) sliding/torsional/rolling coefficients.
+    """
+    Jn = J[:, 0]
+    if condim == 1:
+        return Jn[:, None, :]
+    dirs = [(J[:, 1], fric[:, 0]), (J[:, 2], fric[:, 0])]
+    if condim >= 4:
+        dirs.append((J_ang[:, 0], fric[:, 1]))
+    if condim == 6:
+        dirs.append((J_ang[:, 1], fric[:, 2]))
+        dirs.append((J_ang[:, 2], fric[:, 2]))
+    rows = []
+    for Jd, mu in dirs:
+        rows.append(Jn + mu[:, None] * Jd)
+        rows.append(Jn - mu[:, None] * Jd)
+    return jnp.stack(rows, axis=1)
 
 
 def compute_candidate_invweight(model: PhysicsModel) -> jnp.ndarray:
     """Per-candidate pyramid-row inverse weights at the neutral pose.
 
-    w_row = J_row M0⁻¹ J_rowᵀ with M0 the (damping-augmented) mass matrix at
-    qpos0 — evaluated once at compile time (the analog of MuJoCo computing
-    body_invweight0 in the model compiler).
+    Matches MuJoCo exactly (``engine_core_constraint.c`` diagApprox): every
+    pyramid row of a contact shares one inverse weight
+    ``2 (1 + mu0²) · body_invweight0_trans``, where the translational body
+    invweight is the mean diagonal of J M0⁻¹ Jᵀ for a point at the body's
+    CoM at qpos0 (the ground/world side contributes zero). Evaluated once at
+    compile time, like MuJoCo's model compiler.
     """
     from flygym_tpu.engine import dynamics
     from flygym_tpu.engine.kinematics import (
         dof_subspace,
-        geom_poses,
         kinematics_full,
     )
+    from flygym_tpu.engine.maths import quat_rotate as _qr
 
     qpos = model.qpos0
     xpos, xquat, hinge_xaxis = kinematics_full(model, qpos)
@@ -177,19 +213,25 @@ def compute_candidate_invweight(model: PhysicsModel) -> jnp.ndarray:
     S = dof_subspace(model, xpos, hinge_xaxis, ref)
     I_body = dynamics.body_spatial_inertias(model, xpos, xquat, ref)
     M = dynamics.crba(model, I_body, S)
-    Mh = M + model.timestep * jnp.diag(model.dof_damping)
 
-    gpos, gquat = geom_poses(model, xpos, xquat)
-    _dist, cpos, normal = contact_candidates(model, gpos, gquat)
-    frame = _contact_frames(normal)
-    J = _contact_jacobian(model, model.can_body, cpos, S, ref, frame)
-    mu = model.can_friction[:, 0]
-    Jp = _pyramid_rows(J, mu).reshape(-1, model.nv)
+    body = model.can_body
+    com = xpos[body] + _qr(xquat[body], model.body_ipos[body])  # (ncand, 3)
+    # Translational Jacobian of the CoM point: (ncand, 3, nv).
+    eye3 = jnp.eye(3, dtype=qpos.dtype)
+    Jt = _contact_jacobian(
+        model, body, com, S, ref, jnp.broadcast_to(eye3, (model.ncand, 3, 3))
+    ).reshape(-1, model.nv)
 
-    chol = jax.scipy.linalg.cho_factor(Mh)
-    X = jax.scipy.linalg.cho_solve(chol, Jp.T)
-    w = jnp.sum(Jp * X.T, axis=1)
-    return jnp.clip(w, 1e-12, None).reshape(model.ncand, 4)
+    chol = jax.scipy.linalg.cho_factor(M)
+    X = jax.scipy.linalg.cho_solve(chol, Jt.T)
+    w = jnp.sum(Jt * X.T, axis=1).reshape(model.ncand, 3).mean(axis=1)
+
+    mu0 = model.can_friction[:, 0]
+    w_row = 2.0 * (1.0 + mu0 * mu0) * w
+    nrows = n_pyramid_rows(model.condim)
+    return jnp.clip(w_row, 1e-12, None)[:, None] * jnp.ones(
+        (1, nrows), qpos.dtype
+    )
 
 
 def compute_actuator_acc0(model: PhysicsModel) -> jnp.ndarray:
@@ -275,7 +317,14 @@ def solve_contacts(
     frame = _contact_frames(normal)  # (K, 3, 3)
     body = model.can_body[sel]
     J = _contact_jacobian(model, body, cpos, S, ref, frame)
-    mu = model.can_friction[sel, 0]
+    J_ang = (
+        _contact_jacobian_ang(model, body, S, frame)
+        if model.condim > 3
+        else None
+    )
+    fric = model.can_friction[sel]
+    mu = fric[:, 0]
+    nrows = n_pyramid_rows(model.condim)
 
     # Constraint dynamics parameters.
     solref = model.can_solref[sel]
@@ -312,15 +361,17 @@ def solve_contacts(
     qfrc_total = qfrc_smooth + qfrc_adh
 
     # ---- pyramid rows and row data ----
-    Jp = _pyramid_rows(J, mu).reshape(K * 4, model.nv)
-    vel_rows = Jp @ qvel
-    pos_rows = jnp.repeat(pos_err, 4)
-    imp_rows = jnp.repeat(imp, 4)
-    aref = (
-        -jnp.repeat(b_gain, 4) * vel_rows
-        - jnp.repeat(k_gain, 4) * imp_rows * pos_rows
+    Jp = _pyramid_rows(J, J_ang, fric, model.condim).reshape(
+        K * nrows, model.nv
     )
-    row_active = jnp.repeat(active, 4)
+    vel_rows = Jp @ qvel
+    pos_rows = jnp.repeat(pos_err, nrows)
+    imp_rows = jnp.repeat(imp, nrows)
+    aref = (
+        -jnp.repeat(b_gain, nrows) * vel_rows
+        - jnp.repeat(k_gain, nrows) * imp_rows * pos_rows
+    )
+    row_active = jnp.repeat(active, nrows)
     invweight = model.can_invweight[sel].reshape(-1)
     R = (1.0 - imp_rows) / imp_rows * invweight
     D = jnp.where(row_active, 1.0 / jnp.maximum(R, 1e-12), 0.0)
@@ -346,10 +397,13 @@ def solve_contacts(
     # Contact-frame constraint forces from the pyramid multipliers (the
     # contact sensor reports constraint force; adhesion flows through the
     # actuator pathway, matching MuJoCo).
-    lam_k = lam.reshape(K, 4)
+    lam_k = lam.reshape(K, nrows)
     fn = jnp.sum(lam_k, axis=1)
-    ft1 = mu * (lam_k[:, 0] - lam_k[:, 1])
-    ft2 = mu * (lam_k[:, 2] - lam_k[:, 3])
+    if model.condim >= 3:
+        ft1 = mu * (lam_k[:, 0] - lam_k[:, 1])
+        ft2 = mu * (lam_k[:, 2] - lam_k[:, 3])
+    else:
+        ft1 = ft2 = jnp.zeros_like(fn)
     f_con = jnp.stack([fn, ft1, ft2], axis=-1) * active[:, None]
     f_world = jnp.einsum("kc,kcd->kd", f_con, frame)
 
@@ -487,12 +541,12 @@ def _solve_dual_pgs(model, Mh, Jp, D, aref, qfrc, row_active, K, dtype):
             new = jnp.maximum(lam_c[r] - res / diag[r], 0.0) * row_active[r]
             return lam_c.at[r].set(new), None
 
-        lam, _ = jax.lax.scan(per_row, lam, jnp.arange(K * 4))
+        lam, _ = jax.lax.scan(per_row, lam, jnp.arange(Jp.shape[0]))
         return lam, None
 
     lam, _ = jax.lax.scan(
         sweep,
-        jnp.zeros((K * 4,), dtype),
+        jnp.zeros((Jp.shape[0],), dtype),
         None,
         length=max(model.solver_iterations, 8),
     )

@@ -79,6 +79,10 @@ class PhysicsModel:
     ngeom: int = static_field()
     ncand: int = static_field()  # candidate contact points (static table)
     ncon: int = static_field()  # max simultaneous contacts fed to the solver
+    # Contact dimensionality (MuJoCo condim): 1 = frictionless, 3 = sliding,
+    # 4 = + torsional, 6 = + rolling. Model-wide (static row count:
+    # 1/4/6/10 pyramid rows per contact).
+    condim: int = static_field()
     nsensor_contact: int = static_field()
     timestep: float = static_field()
     solver_type: str = static_field()  # "active_set" (TPU default) | "pgs"
@@ -149,7 +153,7 @@ class PhysicsModel:
     # Per-pyramid-row inverse weight J M0^-1 J^T at the neutral pose — the
     # constraint regularizer scale, precomputed at compile like MuJoCo's
     # body_invweight0/diagApprox so the solver needs no per-step diag(A).
-    can_invweight: jnp.ndarray  # (ncand, 4)
+    can_invweight: jnp.ndarray  # (ncand, nrows) with nrows = pyramid rows/contact
     ground_pos: jnp.ndarray  # (3,)
     ground_normal: jnp.ndarray  # (3,)
     # Optional heightfield terrain overriding the flat ground (blocks / gaps /

@@ -219,3 +219,116 @@ class TestFlyGolden:
         )
         expected = weight + 6.0
         assert 0.8 * expected < total_fn < 1.2 * expected
+
+
+class TestCondimGolden:
+    """Torsional/rolling friction (condim 4/6) vs MuJoCo's pyramidal cones."""
+
+    def _capsule_spec(self, condim):
+        spec = ModelSpec(f"condim{condim}_world")
+        spec.world_geoms.append(
+            GeomSpec(name="ground", type="plane", size=(100.0, 100.0, 1.0))
+        )
+        body = BodySpec(name="puck", parent=None)
+        body.add_joint(JointSpec(name="puckfree", type="free"))
+        body.add_geom(
+            GeomSpec(name="puckgeom", type="capsule", size=(0.5, 0.3), mass=1e-3)
+        )
+        spec.add_body(body)
+        spec.pairs.append(
+            PairSpec(
+                geom1="puckgeom",
+                geom2="ground",
+                condim=condim,
+                friction=(1.0, 1.0, 0.05, 0.01, 0.01),
+                solref=(2e-4, 1.0),
+                solimp=(0.9, 0.95, 1e-3, 0.5, 2.0),
+                margin=1e-3,
+            )
+        )
+        spec.neutral_joint_qpos["puckfree"] = [0, 0, 1.0, 1, 0, 0, 0]
+        return spec
+
+    def _run_spin(self, condim, wz):
+        """Drop to rest, spin about z, compare the spin decay."""
+        spec = self._capsule_spec(condim)
+        compiled = spec.compile()
+        state = make_initial_state(compiled.model)
+        m, d = _mujoco_from(spec)
+        jstep = jax.jit(step)
+        for _ in range(300):
+            state = jstep(compiled.model, state)
+            mujoco.mj_step(m, d)
+        import dataclasses
+
+        qvel = np.asarray(state.qvel).copy()
+        qvel[5] = wz
+        state = dataclasses.replace(state, qvel=jax.numpy.asarray(qvel))
+        d.qvel[5] = wz
+        for _ in range(400):
+            state = jstep(compiled.model, state)
+            mujoco.mj_step(m, d)
+        return float(state.qvel[5]), float(d.qvel[5]), wz
+
+    def test_condim4_torsional_spin_decay_matches(self):
+        wz_me, wz_mj, wz0 = self._run_spin(4, wz=30.0)
+        # Torsional friction must visibly decelerate the spin...
+        assert wz_mj < 0.8 * wz0
+        # ...and our decay must track MuJoCo's.
+        assert abs(wz_me - wz_mj) < 0.1 * wz0, (wz_me, wz_mj)
+
+    def test_condim3_spin_persists(self):
+        wz_me, wz_mj, wz0 = self._run_spin(3, wz=30.0)
+        # condim 3 has no torsional resistance: both engines keep spinning.
+        assert wz_me > 0.9 * wz0 and wz_mj > 0.9 * wz0, (wz_me, wz_mj)
+
+    def test_condim6_rolling_decay_matches(self):
+        """Sphere spun about y rolls along +x; rolling friction (condim 6)
+        brings it to rest. Compare displacement and |omega| decay (component
+        conventions for free-joint angular velocity differ between engines,
+        so only frame-invariant quantities are asserted)."""
+        spec = ModelSpec("roll_world")
+        spec.world_geoms.append(
+            GeomSpec(name="ground", type="plane", size=(100.0, 100.0, 1.0))
+        )
+        body = BodySpec(name="ball", parent=None)
+        body.add_joint(JointSpec(name="ballfree", type="free"))
+        body.add_geom(
+            GeomSpec(name="ballgeom", type="sphere", size=(0.5,), mass=1e-3)
+        )
+        spec.add_body(body)
+        spec.pairs.append(
+            PairSpec(
+                geom1="ballgeom",
+                geom2="ground",
+                condim=6,
+                friction=(1.0, 1.0, 0.05, 0.01, 0.01),
+                solref=(2e-4, 1.0),
+                solimp=(0.9, 0.95, 1e-3, 0.5, 2.0),
+                margin=1e-3,
+            )
+        )
+        spec.neutral_joint_qpos["ballfree"] = [0, 0, 0.6, 1, 0, 0, 0]
+        compiled = spec.compile()
+        state = make_initial_state(compiled.model)
+        m, d = _mujoco_from(spec)
+        jstep = jax.jit(step)
+        for _ in range(200):
+            state = jstep(compiled.model, state)
+            mujoco.mj_step(m, d)
+        import dataclasses
+
+        qvel = np.asarray(state.qvel).copy()
+        qvel[4] = 20.0  # spin about y -> rolls toward +x
+        state = dataclasses.replace(state, qvel=jax.numpy.asarray(qvel))
+        d.qvel[4] = 20.0
+        for _ in range(600):
+            state = jstep(compiled.model, state)
+            mujoco.mj_step(m, d)
+        w_me = float(np.linalg.norm(np.asarray(state.qvel)[3:6]))
+        w_mj = float(np.linalg.norm(d.qvel[3:6]))
+        x_me, x_mj = float(state.qpos[0]), float(d.qpos[0])
+        assert x_mj > 0.05  # it rolled
+        assert w_mj < 15.0  # rolling resistance decayed the spin
+        assert abs(x_me - x_mj) < 0.2 * max(x_mj, 0.1), (x_me, x_mj)
+        assert abs(w_me - w_mj) < 3.0, (w_me, w_mj)
