@@ -8,7 +8,18 @@ meshes, instead of wrapping the MuJoCo C engine / MuJoCo-Warp CUDA kernels.
 Public API parity reference: flygym ``src/flygym/__init__.py:8-21``.
 """
 
+import os as _os
 from pathlib import Path
+
+# The Pallas mega-step kernel (ops/megastep.py) needs a larger scoped-VMEM
+# stack than libtpu's 16 MiB default (the whole physics step lives in one
+# kernel). Must be set before the TPU backend initializes; appending is safe
+# if the flag is already present or no TPU is attached.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
+    ).strip()
 
 assets_dir = Path(__file__).parent / "assets"
 

@@ -73,8 +73,36 @@ class BatchSimulation(Simulation):
         self._initial_batch_state = self._broadcast(self._initial_state)
         self.state = self._initial_batch_state
 
+        # Pallas mega-kernel step: the whole physics step as one TPU kernel
+        # per 128-world block (ops/megastep.py) — used automatically on the
+        # TPU backend for supported models (flat ground, Newton solver).
+        # Opt out with FLYGYM_TPU_MEGASTEP=0. Mesh-sharded runs keep the
+        # vmap path (worlds shard across chips; each chip runs the XLA step).
+        import os
+
+        self._megastep = None
+        if (
+            mesh is None
+            and os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0"
+        ):
+            try:
+                from flygym_tpu.ops.megastep import (
+                    make_megastep,
+                    megastep_supported,
+                )
+
+                if jax.default_backend() == "tpu" and megastep_supported(
+                    self.model
+                ):
+                    self._megastep = make_megastep(self.model)
+            except Exception:
+                self._megastep = None
+
         vstep = jax.vmap(engine_step, in_axes=(None, 0))
-        if mesh is not None:
+        if self._megastep is not None:
+            mega = self._megastep
+            self._jit_step = jax.jit(lambda _model, s: mega(s))
+        elif mesh is not None:
             self._jit_step = jax.jit(
                 vstep, in_shardings=(self._model_sharding, self._state_sharding),
                 out_shardings=self._state_sharding,
@@ -169,7 +197,11 @@ class BatchSimulation(Simulation):
                 (n_steps, self.n_worlds, self.model.nu), jnp.nan, jnp.float32
             )
         self.state, traj = rollout_batched(
-            self.model, self.state, jnp.asarray(ctrl_sequence), n_steps
+            self.model,
+            self.state,
+            jnp.asarray(ctrl_sequence),
+            n_steps,
+            batched_step=self._megastep,
         )
         self._curr_step += n_steps
         return traj

@@ -104,15 +104,23 @@ class ReplayTargetData:
         return out
 
 
-@partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1,))
-def _replay_episode(model, state, targets, act_ids, n_steps: int):
-    """Whole replay episode on device: per-step table lookup + vmapped step."""
-    vstep = jax.vmap(engine_step, in_axes=(None, 0))
+@partial(
+    jax.jit,
+    static_argnames=("n_steps", "batched_step"),
+    donate_argnums=(1,),
+)
+def _replay_episode(model, state, targets, act_ids, n_steps: int,
+                    batched_step=None):
+    """Whole replay episode on device: per-step table lookup + batched step
+    (the Pallas mega-kernel when available, vmapped XLA step otherwise)."""
+    if batched_step is None:
+        vstep = jax.vmap(engine_step, in_axes=(None, 0))
+        batched_step = lambda s: vstep(model, s)
 
     def body(carry, t):
         i, st = carry
         ctrl = st.ctrl.at[:, act_ids].set(targets[:, i])
-        st = vstep(model, dataclasses.replace(st, ctrl=ctrl))
+        st = batched_step(dataclasses.replace(st, ctrl=ctrl))
         return (i + 1, st), None
 
     (_, final), _ = jax.lax.scan(
@@ -153,12 +161,17 @@ def run_simulation(
     # Compile outside the timed region (the reference's graph capture is also
     # outside its timed loop). NOTE: block_until_ready does not reliably block
     # on the axon TPU backend; a host fetch is the only true device sync.
-    final = _replay_episode(sim.model, sim.state, targets, act_ids, n_steps)
+    mega = sim._megastep
+    final = _replay_episode(
+        sim.model, sim.state, targets, act_ids, n_steps, batched_step=mega
+    )
     np.asarray(final.qpos[0])
     sim.state = final
 
     start = perf_counter_ns()
-    final = _replay_episode(sim.model, sim.state, targets, act_ids, n_steps)
+    final = _replay_episode(
+        sim.model, sim.state, targets, act_ids, n_steps, batched_step=mega
+    )
     np.asarray(final.qpos[0])
     walltime_s = (perf_counter_ns() - start) / 1e9
     sim.state = final

@@ -158,22 +158,33 @@ def rollout(model: PhysicsModel, state: State, ctrl_seq: jnp.ndarray, n_steps: i
     return final, traj
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
+@partial(jax.jit, static_argnames=("n_steps", "batched_step"))
 def rollout_batched(
-    model: PhysicsModel, state: State, ctrl_seq: jnp.ndarray, n_steps: int
+    model: PhysicsModel,
+    state: State,
+    ctrl_seq: jnp.ndarray,
+    n_steps: int,
+    batched_step=None,
 ):
     """Batched episode scan: state has a leading world axis, ``ctrl_seq`` is
     (n_steps, n_worlds, nu). One XLA program for the whole episode across all
     worlds — the direct analog of the benchmark's captured CUDA graph replay
     (``time_gpu_simulation.py:148-153``), with the step table lookup fused in.
+
+    Args:
+        batched_step: Optional replacement for ``vmap(step)`` taking the
+            batched state directly (e.g. the Pallas mega-kernel,
+            ops/megastep.py).
     """
     import dataclasses
 
-    vstep = jax.vmap(step, in_axes=(None, 0))
+    if batched_step is None:
+        vstep = jax.vmap(step, in_axes=(None, 0))
+        batched_step = lambda s: vstep(model, s)
 
     def body(carry, ctrl_t):
         ctrl = jnp.where(jnp.isnan(ctrl_t), carry.ctrl, ctrl_t)
-        new = vstep(model, dataclasses.replace(carry, ctrl=ctrl))
+        new = batched_step(dataclasses.replace(carry, ctrl=ctrl))
         return new, new.qpos
 
     final, traj = jax.lax.scan(body, state, ctrl_seq, length=n_steps)
