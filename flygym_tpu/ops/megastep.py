@@ -232,6 +232,7 @@ class _Static:
         self.can_sensor = f(model.can_sensor)
         self.can_invweight = f(model.can_invweight)
         self.ground_z = float(f(model.ground_pos)[2])
+        self.has_hfield = bool(model.has_hfield)
         self.nsensor = model.nsensor_contact
 
         # Candidates grouped by adhesion actuator / sensor slot (static).
@@ -262,8 +263,14 @@ class _Static:
 
 
 def megastep_supported(model) -> bool:
-    """Mega-kernel covers flat-ground Newton models (the perf path)."""
-    return (not model.has_hfield) and model.solver_type != "pgs"
+    """Mega-kernel covers Newton-solver models (the engine default).
+
+    Heightfield terrain is handled by sampling per-candidate local ground
+    planes (height + normal) OUTSIDE the kernel from the previous step's
+    cached FK — candidates move ~1e-3 mm/step vs ~0.25 mm terrain cells, so
+    the one-step-stale sample is far below contact resolution.
+    """
+    return model.solver_type != "pgs"
 
 
 # ---------------------------------------------------------------------------
@@ -271,12 +278,14 @@ def megastep_supported(model) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def emit_step(st: _Static, q, v, ctrl, act, warm):
+def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
     """Emit one physics step.
 
     Args:
         st: static model snapshot.
         q, v, ctrl, act, warm: lists of lane vectors (len nq/nv/nu/na/nv).
+        terrain: per-candidate local ground planes [(h, nx, ny, nz)] of lane
+            vectors (heightfield worlds; None = flat plane at ground_z).
 
     Returns dict with lists of lane vectors: qpos, qvel, act, qacc,
     xpos (nbody of 3-tuples), xquat (nbody of 4-tuples), site_xpos,
@@ -556,7 +565,9 @@ def emit_step(st: _Static, q, v, ctrl, act, warm):
             qfrc[d] = qfrc[d] + force
 
     # ---------------- contacts --------------------------------------------
-    qacc, lam_rows, con = _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one)
+    qacc, lam_rows, con = _emit_contacts(
+        st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain
+    )
 
     # ---------------- integrate -------------------------------------------
     v_new = [v[d] + dt * qacc[d] for d in range(st.nv)]
@@ -672,7 +683,9 @@ def _muscle_force_lane(st, u, length, vel, a_slot, z):
     return gain * a_slot + bias
 
 
-def _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one):
+def _emit_contacts(
+    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain=None
+):
     """Contact rows + tree-LDL + primal Newton on lane vectors.
 
     Returns (qacc list, lam rows, contact info dict for sensors).
@@ -707,9 +720,17 @@ def _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, 
         halflen = float(st.geom_size[gi, 1])
         end = float(st.can_end[cidx])
         ep = _add3(gpos, _scale3(zax, end * halflen))
-        dist = ep[2] - st.ground_z - radius
-        cpos = (ep[0], ep[1], ep[2] - (radius + 0.5 * dist))
-        # Frame: normal = +z; tangents = (x, y) — flat ground.
+        if terrain is None:
+            # Flat ground: frame is axis-aligned (n = z, t1 = x, t2 = y).
+            dist = ep[2] - st.ground_z - radius
+            n_c = None
+            cpos = (ep[0], ep[1], ep[2] - (radius + 0.5 * dist))
+        else:
+            h_c, nx_c, ny_c, nz_c = terrain[cidx]
+            n_c = (nx_c, ny_c, nz_c)
+            # Same signed-distance form as contact_candidates (contact.py).
+            dist = (ep[2] - h_c) * nz_c - radius
+            cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
         margin = float(st.can_margin[cidx])
         active = dist < margin
 
@@ -726,6 +747,16 @@ def _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, 
         b_gain = 2.0 / (dmax * tc)
         k_gain = 1.0 / (dmax * dmax * tc * tc * dr * dr)
 
+        # Contact frame rows [n, t1, t2] (port of _contact_frames).
+        if n_c is not None:
+            use_ey = jnp.abs(n_c[0]) > 0.9
+            seed = (jnp.where(use_ey, 0.0, 1.0), jnp.where(use_ey, 1.0, 0.0), z)
+            sn = _dot3(seed, n_c)
+            t1 = _sub3(seed, _scale3(n_c, sn))
+            t1n = jnp.maximum(jnp.sqrt(_dot3(t1, t1)), 1e-12)
+            t1 = _scale3(t1, 1.0 / t1n)
+            t2 = _cross(n_c, t1)
+
         # Translational contact Jacobian rows on the path dofs.
         path = st.body_path_dofs[b]
         rel = _sub3(cpos, ref)
@@ -734,9 +765,19 @@ def _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, 
         for d in path:
             w_, v_ = S[d]
             jp = _add3(v_, _cross(w_, rel))
-            Jt1[d], Jt2[d], Jn[d] = jp[0], jp[1], jp[2]  # frame rows: n=z, t1=x, t2=y
-            if st.condim > 3:
-                Jrn[d], Jrt1[d], Jrt2[d] = w_[2], w_[0], w_[1]
+            if n_c is None:
+                # Flat frame: pick components (n = z, t1 = x, t2 = y).
+                Jt1[d], Jt2[d], Jn[d] = jp[0], jp[1], jp[2]
+                if st.condim > 3:
+                    Jrn[d], Jrt1[d], Jrt2[d] = w_[2], w_[0], w_[1]
+            else:
+                Jn[d] = _dot3(jp, n_c)
+                Jt1[d] = _dot3(jp, t1)
+                Jt2[d] = _dot3(jp, t2)
+                if st.condim > 3:
+                    Jrn[d] = _dot3(w_, n_c)
+                    Jrt1[d] = _dot3(w_, t1)
+                    Jrt2[d] = _dot3(w_, t2)
         cons.append(
             dict(
                 body=b,
@@ -754,6 +795,7 @@ def _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, 
                 Jrn=Jrn,
                 Jrt1=Jrt1,
                 Jrt2=Jrt2,
+                frame=(n_c, t1, t2) if n_c is not None else None,
                 mu=tuple(float(x) for x in st.can_friction[cidx]),
                 invweight=float(st.can_invweight[cidx, 0]),
                 adh=int(st.can_adh_act[cidx]),
@@ -927,8 +969,15 @@ def _emit_contacts(st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, 
             ft1 = ft2 = z
         act_m = jnp.where(c["active"], 1.0, 0.0)
         c["f_frame"] = (fn * act_m, ft1 * act_m, ft2 * act_m)
-        # world force: frame is axis-aligned (n=z, t1=x, t2=y)
-        c["f_world"] = (ft1 * act_m, ft2 * act_m, fn * act_m)
+        if c["frame"] is None:
+            # Flat frame is axis-aligned (n = z, t1 = x, t2 = y).
+            c["f_world"] = (ft1 * act_m, ft2 * act_m, fn * act_m)
+        else:
+            n_f, t1_f, t2_f = c["frame"]
+            fw = tuple(
+                fn * n_f[i] + ft1 * t1_f[i] + ft2 * t2_f[i] for i in range(3)
+            )
+            c["f_world"] = tuple(f * act_m for f in fw)
 
     qacc = a_vec
     return qacc, lam, cons
@@ -1016,10 +1065,33 @@ def _emit_sensors(st, cons, z, one):
             )
             for i in range(3)
         ]
-        # Flat ground: normal (0, 0, 1), tangent (1, 0, 0) — like the jnp
-        # sensors' defaults and weighted means, which coincide on a plane.
-        normal = (z, z, one)
-        tangent = (one, z, z)
+        if group[0]["frame"] is None:
+            # Flat ground: weighted means coincide with the constants.
+            normal = (z, z, one)
+            tangent = (one, z, z)
+        else:
+            # Weighted mean normal, re-orthogonalized tangent (sensors.py).
+            n_sum = [z, z, z]
+            t_sum = [z, z, z]
+            for c, w_ in zip(group, w):
+                n_f, t1_f, _ = c["frame"]
+                for i in range(3):
+                    n_sum[i] = n_sum[i] + n_f[i] * w_
+                    t_sum[i] = t_sum[i] + t1_f[i] * w_
+            nn = jnp.sqrt(_dot3(tuple(n_sum), tuple(n_sum)))
+            normal = tuple(
+                jnp.where(nn > 1e-9, n_sum[i] / jnp.maximum(nn, 1e-12),
+                          1.0 if i == 2 else 0.0)
+                for i in range(3)
+            )
+            tdn = _dot3(tuple(t_sum), normal)
+            t_sum = [t_sum[i] - tdn * normal[i] for i in range(3)]
+            tn = jnp.sqrt(_dot3(tuple(t_sum), tuple(t_sum)))
+            tangent = tuple(
+                jnp.where(tn > 1e-9, t_sum[i] / jnp.maximum(tn, 1e-12),
+                          1.0 if i == 0 else 0.0)
+                for i in range(3)
+            )
         t2 = _cross(normal, tangent)
         tw = [z, z, z]
         for c, w_ in zip(group, w):
@@ -1068,8 +1140,10 @@ def make_megastep(model):
     st = _Static(model)
     nq, nv, nu, na = st.nq, st.nv, st.nu, st.na
     nb, ns, nsite = st.nbody, st.nsensor, st.nsite
+    ncand = st.ncand
+    n_terrain = 4 * ncand if st.has_hfield else 0
 
-    n_in = nq + nv + nu + na + nv
+    n_in = nq + nv + nu + na + nv + n_terrain
     n_out = nq + nv + na + nv + 3 * nb + 4 * nb + 3 * nsite + nu + 16 * ns
 
     def kernel(in_ref, out_ref):
@@ -1079,7 +1153,14 @@ def make_megastep(model):
         ctrl = [read(nq + nv + i) for i in range(nu)]
         act = [read(nq + nv + nu + i) for i in range(na)]
         warm = [read(nq + nv + nu + na + i) for i in range(nv)]
-        r = emit_step(st, q, v, ctrl, act, warm)
+        terrain = None
+        if n_terrain:
+            t0 = nq + nv + nu + na + nv
+            terrain = [
+                tuple(read(t0 + 4 * c + k) for k in range(4))
+                for c in range(ncand)
+            ]
+        r = emit_step(st, q, v, ctrl, act, warm, terrain)
         o = 0
 
         def wr(vals):
@@ -1109,16 +1190,71 @@ def make_megastep(model):
 
         B = state.qpos.shape[0]
         dtype = jnp.float32
-        packed = jnp.concatenate(
-            [
-                state.qpos.T.astype(dtype),
-                state.qvel.T.astype(dtype),
-                state.ctrl.T.astype(dtype),
-                state.act.T.astype(dtype),
-                state.qacc.T.astype(dtype),
-            ],
-            axis=0,
-        )
+        parts = [
+            state.qpos.T.astype(dtype),
+            state.qvel.T.astype(dtype),
+            state.ctrl.T.astype(dtype),
+            state.act.T.astype(dtype),
+            state.qacc.T.astype(dtype),
+        ]
+        if n_terrain:
+            # Per-candidate local ground planes (h, n) sampled at the
+            # previous step's candidate positions (state.xpos is the cached
+            # pre-integration FK) — see megastep_supported docstring.
+            # The bilinear table lookup uses one-hot MATMULS instead of XLA
+            # gathers: TPU generic gathers on (B·ncand) indices cost ~ms per
+            # step; two (N, nrow) @ (nrow, ncol) one-hot products ride the
+            # MXU in ~10 µs.
+            from flygym_tpu.engine.maths import quat_mul, quat_rotate
+
+            def planes(xpos, xquat):
+                gb = model.geom_body[model.can_geom]
+                gpos = xpos[:, gb] + quat_rotate(
+                    xquat[:, gb], model.geom_pos[model.can_geom]
+                )
+                gquat = quat_mul(xquat[:, gb], model.geom_quat[model.can_geom])
+                zax = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], dtype))
+                halflen = model.geom_size[model.can_geom, 1]
+                ep = gpos + (model.can_end * halflen)[None, :, None] * zax
+                xy = ep[..., :2].reshape(-1, 2)  # (B*ncand, 2)
+
+                data = model.hfield_data
+                nr, nc = data.shape
+                fx = (xy[:, 0] - model.hfield_xy0[0]) / model.hfield_cell[0]
+                fy = (xy[:, 1] - model.hfield_xy0[1]) / model.hfield_cell[1]
+                fx = jnp.clip(fx, 0.0, nc - 1.001)
+                fy = jnp.clip(fy, 0.0, nr - 1.001)
+                ix = jnp.floor(fx)
+                iy = jnp.floor(fy)
+                tx = fx - ix
+                ty = fy - iy
+                rows = jnp.arange(nr, dtype=dtype)
+                cols = jnp.arange(nc, dtype=dtype)
+                Y0 = (iy[:, None] == rows[None, :]).astype(dtype)
+                Y1 = (iy[:, None] + 1.0 == rows[None, :]).astype(dtype)
+                X0 = (ix[:, None] == cols[None, :]).astype(dtype)
+                X1 = (ix[:, None] + 1.0 == cols[None, :]).astype(dtype)
+                R0 = Y0 @ data  # (N, nc)
+                R1 = Y1 @ data
+                h00 = jnp.sum(R0 * X0, -1)
+                h01 = jnp.sum(R0 * X1, -1)
+                h10 = jnp.sum(R1 * X0, -1)
+                h11 = jnp.sum(R1 * X1, -1)
+                h = (
+                    h00 * (1 - tx) * (1 - ty)
+                    + h01 * tx * (1 - ty)
+                    + h10 * (1 - tx) * ty
+                    + h11 * tx * ty
+                )
+                dh_dx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / model.hfield_cell[0]
+                dh_dy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / model.hfield_cell[1]
+                n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)], -1)
+                n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+                return jnp.concatenate([h[:, None], n], axis=1)  # (B*ncand, 4)
+
+            pl_b = planes(state.xpos, state.xquat)
+            parts.append(pl_b.reshape(B, n_terrain).T.astype(dtype))
+        packed = jnp.concatenate(parts, axis=0)
         packed, B0 = _pad_lanes(packed)
         nblk = packed.shape[1] // LANE
         out = pl.pallas_call(

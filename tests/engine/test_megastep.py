@@ -201,3 +201,76 @@ class TestEmitterMuscle:
         np.testing.assert_allclose(
             np.asarray(got["act"]), np.asarray(ref.act), atol=1e-6
         )
+
+
+class TestEmitterHeightfield:
+    def test_blocks_terrain_matches_engine_at_rest(self):
+        """On heightfield terrain the kernel uses ground planes sampled from
+        the previous step's FK; at/near rest that equals the engine's
+        in-step sampling, so outputs must match."""
+        from flygym_tpu.compose import BlocksTerrainWorld
+        from flygym_tpu.engine.contact import ground_height_normal
+        from flygym_tpu.engine.maths import quat_mul, quat_rotate
+        from flygym_tpu.ops.megastep import megastep_supported
+
+        fly = Fly(name="f")
+        fly.add_joints(
+            Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        dofs = fly.skeleton.get_actuated_dofs_from_preset(
+            ActuatedDOFPreset.LEGS_ACTIVE_ONLY
+        )
+        fly.add_actuators(
+            dofs,
+            ActuatorType.POSITION,
+            kp=50.0,
+            neutral_input=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_leg_adhesion()
+        world = BlocksTerrainWorld(rng_seed=2)
+        world.add_fly(fly, (0, 0, 1.6), Rotation3D("quat", (1, 0, 0, 0)))
+        model, state0 = world.compile()
+        assert megastep_supported(model)
+
+        bstate = _batched_state(
+            model, state0, n_steps=800, ctrl=jnp.zeros((model.nu,), jnp.float32)
+        )
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+
+        def planes(xpos, xquat):
+            gb = model.geom_body[model.can_geom]
+            gpos = xpos[gb] + quat_rotate(xquat[gb], model.geom_pos[model.can_geom])
+            gquat = quat_mul(xquat[gb], model.geom_quat[model.can_geom])
+            zax = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0]))
+            halflen = model.geom_size[model.can_geom, 1]
+            ep = gpos + (model.can_end * halflen)[:, None] * zax
+            h, n = ground_height_normal(model, ep[:, :2])
+            return jnp.concatenate([h[:, None], n], axis=1)
+
+        pl_b = jax.vmap(planes)(bstate.xpos, bstate.xquat)  # (B, ncand, 4)
+        st = ms._Static(model)
+        cols = lambda x: [x[:, i] for i in range(x.shape[1])]
+        terrain = [tuple(pl_b[:, c, k] for k in range(4)) for c in range(model.ncand)]
+        r = ms.emit_step(
+            st,
+            cols(bstate.qpos),
+            cols(bstate.qvel),
+            cols(bstate.ctrl),
+            cols(bstate.act),
+            cols(bstate.qacc),
+            terrain,
+        )
+        qpos = jnp.stack(r["qpos"], axis=1)
+        qvel = jnp.stack(r["qvel"], axis=1)
+        # Micro-bounce impacts amplify fp reordering noise; 3e-4 in qpos is
+        # one step of ~3 mm/s velocity-level difference on impact transients.
+        np.testing.assert_allclose(
+            np.asarray(qpos), np.asarray(ref.qpos), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(qvel), np.asarray(ref.qvel), atol=3.0
+        )
+        # Contact sensors see terrain normals (nonzero tangential variety).
+        sens = np.stack([np.stack(s, 1) for s in r["sensordata"]], 1)
+        assert np.isfinite(sens).all()
