@@ -274,3 +274,42 @@ class TestEmitterHeightfield:
         # Contact sensors see terrain normals (nonzero tangential variety).
         sens = np.stack([np.stack(s, 1) for s in r["sensordata"]], 1)
         assert np.isfinite(sens).all()
+
+
+class TestMegastepGating:
+    def test_cpu_backend_disables_megastep(self):
+        import flygym_tpu
+
+        world = _world()
+        sim = flygym_tpu.BatchSimulation(world, 2)
+        assert sim._megastep is None  # CPU backend in tests
+
+    def test_env_optout(self, monkeypatch):
+        import flygym_tpu
+
+        monkeypatch.setenv("FLYGYM_TPU_MEGASTEP", "0")
+        world = _world()
+        sim = flygym_tpu.BatchSimulation(world, 2)
+        assert sim._megastep is None
+
+    def test_supported_flags(self):
+        from flygym_tpu.compose import BlocksTerrainWorld
+        from flygym_tpu.ops.megastep import megastep_supported
+
+        model, _ = _world().compile()
+        assert megastep_supported(model)
+        model.__class__  # hfield worlds now supported too
+        fly = Fly(name="f")
+        fly.add_joints(
+            Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        w = BlocksTerrainWorld()
+        w.add_fly(fly, (0, 0, 1.5), Rotation3D("quat", (1, 0, 0, 0)))
+        m2, _ = w.compile()
+        assert megastep_supported(m2)
+        # PGS cross-check solver stays on the jnp path.
+        w2 = _world()
+        w2.spec.options["solver"] = "pgs"
+        m3, _ = w2.compile()
+        assert not megastep_supported(m3)
