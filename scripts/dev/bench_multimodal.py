@@ -83,26 +83,35 @@ def main():
     else:
         batched_step = mega
 
+    n_outer = n_steps // vision_every
+
     @jax.jit
     def episode(state, cpg_state, vis0):
-        def body(carry, t):
-            st, cs, vis = carry
+        # Static vision schedule: inner scan = physics at 10 kHz, outer
+        # scan = one retina render per vision period (500 Hz). A lax.cond
+        # inside a flat scan is not a reliable skip on TPU; the nested-scan
+        # structure guarantees renders happen exactly n_steps/20 times.
+        def inner(carry, _):
+            st, cs = carry
             cs, targets, adhesion = cpg(cs)
             ctrl = st.ctrl.at[:, act_ids].set(targets[None])
             ctrl = ctrl.at[:, adh_ids].set(adhesion[None])
             st = batched_step(dataclasses.replace(st, ctrl=ctrl))
-            vis = jax.lax.cond(
-                t % vision_every == 0,
-                lambda s: jax.vmap(lambda ss: retina.render(model, ss))(s),
-                lambda _s: vis,
-                st,
-            )
             od = jax.vmap(lambda ss: odor.sample(model, ss))(st)
-            return (st, cs, vis), od[:, 0, 0]
+            return (st, cs), od[:, 0, 0]
 
-        (st, cs, vis), odors = jax.lax.scan(
-            body, (state, cpg_state, vis0), jnp.arange(n_steps)
+        def outer(carry, _):
+            st, cs = carry
+            (st, cs), odors = jax.lax.scan(
+                inner, (st, cs), None, length=vision_every
+            )
+            vis = jax.vmap(lambda ss: retina.render(model, ss))(st)
+            return (st, cs), (vis[:, 0, 0, 0], odors)
+
+        (st, cs), (vis_tr, odors) = jax.lax.scan(
+            outer, (state, cpg_state), None, length=n_outer
         )
+        vis = jax.vmap(lambda ss: retina.render(model, ss))(st)
         return st, cs, vis, odors
 
     cpg_state = cpg.init_state(0)
