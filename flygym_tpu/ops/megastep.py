@@ -37,8 +37,6 @@ Replaces (perf-path only): MuJoCo's mj_step + MuJoCo-Warp's batched kernels
 behind the reference's GPU simulation (flygym ``warp/simulation.py``).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -690,10 +688,7 @@ def _emit_contacts(
 
     Returns (qacc list, lam rows, contact info dict for sensors).
     """
-    from flygym_tpu.engine.model import ActKind
-
     nv = st.nv
-    dt = st.timestep
 
     def key(a_, b_):
         # Canonical tree-pair key: (ancestor_or_self, descendant).
@@ -834,7 +829,6 @@ def _emit_contacts(
             dirs.append((c["Jrt2"], mu_r))
         R_ = (1.0 - c["imp"]) / c["imp"] * max(c["invweight"], 1e-12)
         D_ = jnp.where(c["active"], 1.0 / jnp.maximum(R_, 1e-12), 0.0)
-        aref_base = -c["b_gain"]
         krow = c["k_gain"]
 
         def make_row(Jrow):

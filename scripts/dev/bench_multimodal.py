@@ -106,7 +106,10 @@ def main():
                 inner, (st, cs), None, length=vision_every
             )
             vis = jax.vmap(lambda ss: retina.render(model, ss))(st)
-            return (st, cs), (vis[:, 0, 0, 0], odors)
+            # Consume the WHOLE render (per-world mean intensity) so XLA
+            # cannot dead-code-eliminate the retina work — the honest cost
+            # of full 721-ommatidia vision at 500 Hz.
+            return (st, cs), (vis.mean(axis=(1, 2, 3)), odors)
 
         (st, cs), (vis_tr, odors) = jax.lax.scan(
             outer, (state, cpg_state), None, length=n_outer
