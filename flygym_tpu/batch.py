@@ -74,34 +74,49 @@ class BatchSimulation(Simulation):
         self.state = self._initial_batch_state
 
         # Pallas mega-kernel step: the whole physics step as one TPU kernel
-        # per 128-world block (ops/megastep.py) — used automatically on the
-        # TPU backend for supported models (flat ground, Newton solver).
-        # Opt out with FLYGYM_TPU_MEGASTEP=0. Mesh-sharded runs keep the
-        # vmap path (worlds shard across chips; each chip runs the XLA step).
+        # per SUBLANES x 128-world block (ops/megastep.py) — used
+        # automatically on the TPU backend for supported models (Newton
+        # solver; flat ground or heightfield). Opt out with
+        # FLYGYM_TPU_MEGASTEP=0. Mesh-sharded runs wrap the kernel in
+        # shard_map over the world axis: each device runs the kernel on its
+        # world shard, SPMD with zero collectives (the worlds are
+        # independent). FLYGYM_TPU_MEGASTEP_INTERPRET=1 forces the Pallas
+        # interpreter on any backend — used by CI to cover this wiring on
+        # the virtual CPU mesh.
         import os
 
         self._megastep = None
-        if (
-            mesh is None
-            and os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0"
-        ):
+        if os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0":
+            interp = os.environ.get("FLYGYM_TPU_MEGASTEP_INTERPRET", "0") == "1"
             try:
                 from flygym_tpu.ops.megastep import (
                     make_megastep,
+                    make_megastep_sharded,
                     megastep_supported,
                 )
 
-                if jax.default_backend() == "tpu" and megastep_supported(
-                    self.model
-                ):
-                    self._megastep = make_megastep(self.model)
+                if (
+                    jax.default_backend() == "tpu" or interp
+                ) and megastep_supported(self.model):
+                    if mesh is None:
+                        self._megastep = make_megastep(
+                            self.model, interpret=interp
+                        )
+                    else:
+                        self._megastep = make_megastep_sharded(
+                            self.model,
+                            mesh,
+                            world_axis,
+                            self._initial_batch_state,
+                            interpret=interp,
+                        )
             except Exception:
                 self._megastep = None
 
         vstep = jax.vmap(engine_step, in_axes=(None, 0))
         if self._megastep is not None:
             mega = self._megastep
-            self._jit_step = jax.jit(lambda _model, s: mega(s))
+            self._jit_step = lambda _model, s: mega(s)
         elif mesh is not None:
             self._jit_step = jax.jit(
                 vstep, in_shardings=(self._model_sharding, self._state_sharding),

@@ -22,6 +22,7 @@ __all__ = [
     "quat_from_axis_angle",
     "quat_integrate",
     "quat_to_mat",
+    "mat_to_quat",
     "normalize_quat",
     "skew",
     "motion_cross",
@@ -111,6 +112,48 @@ def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
+
+
+def mat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix (..., 3, 3) → unit quaternion (..., 4), w-first.
+
+    Branch-free Shepperd's method: computes all four candidate solutions
+    and selects the numerically strongest via ``where`` (jit/vmap-safe).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    # Candidate from the trace and from each diagonal element.
+    qw_t = 0.5 * safe_sqrt(1.0 + tr)
+    q_t = jnp.stack(
+        [qw_t, (m21 - m12) / (4 * qw_t), (m02 - m20) / (4 * qw_t),
+         (m10 - m01) / (4 * qw_t)], axis=-1)
+    qx_x = 0.5 * safe_sqrt(1.0 + m00 - m11 - m22)
+    q_x = jnp.stack(
+        [(m21 - m12) / (4 * qx_x), qx_x, (m01 + m10) / (4 * qx_x),
+         (m02 + m20) / (4 * qx_x)], axis=-1)
+    qy_y = 0.5 * safe_sqrt(1.0 - m00 + m11 - m22)
+    q_y = jnp.stack(
+        [(m02 - m20) / (4 * qy_y), (m01 + m10) / (4 * qy_y), qy_y,
+         (m12 + m21) / (4 * qy_y)], axis=-1)
+    qz_z = 0.5 * safe_sqrt(1.0 - m00 - m11 + m22)
+    q_z = jnp.stack(
+        [(m10 - m01) / (4 * qz_z), (m02 + m20) / (4 * qz_z),
+         (m12 + m21) / (4 * qz_z), qz_z], axis=-1)
+
+    use_t = tr > 0.0
+    use_x = (~use_t) & (m00 >= m11) & (m00 >= m22)
+    use_y = (~use_t) & (~use_x) & (m11 >= m22)
+    q = jnp.where(
+        use_t[..., None], q_t,
+        jnp.where(use_x[..., None], q_x, jnp.where(use_y[..., None], q_y, q_z)),
+    )
+    return normalize_quat(q)
 
 
 def skew(v: jnp.ndarray) -> jnp.ndarray:

@@ -41,9 +41,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["emit_step", "make_megastep", "megastep_supported"]
+__all__ = [
+    "emit_step",
+    "make_megastep",
+    "make_megastep_sharded",
+    "megastep_supported",
+]
 
 LANE = 128
+# Worlds per kernel block = SUBLANES x LANE. Each per-world value is an
+# (SUBLANES, LANE) array filling a whole f32 vreg tile — at (1, 128) the
+# VPU runs at 1/8 utilization and the value occupies the same VMEM tile
+# anyway (Mosaic pads to 8 sublanes), so packing 8 sublanes is ~free.
+SUBLANES = int(__import__("os").environ.get("FLYGYM_TPU_MEGASTEP_SUBLANES", "8"))
+BLOCK = SUBLANES * LANE
 _EPS = 1e-9
 
 _LS_ALPHAS = (
@@ -1115,19 +1126,29 @@ def _emit_sensors(st, cons, z, one):
 # ---------------------------------------------------------------------------
 
 
-def _pad_lanes(x):
+def _pad_lanes(x, multiple=LANE):
     b = x.shape[-1]
-    pad = (-b) % LANE
+    pad = (-b) % multiple
     if pad:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     return x, b
 
 
-def make_megastep(model):
+def make_megastep(model, interpret: bool = False, jit: bool = True):
     """Build a batched step: state (B, ...) pytree → new state, via Pallas.
 
     Returns a function with the same signature as
     ``jax.vmap(lambda s: step(model, s))`` over State pytrees.
+
+    Args:
+        model: compiled PhysicsModel.
+        interpret: run the kernel through the Pallas interpreter (CPU) and
+            skip the outer jit — used by CI to exercise the full
+            pallas_call plumbing (lane packing, block specs, read/write
+            offsets) without TPU hardware or a 1e5-op XLA compile.
+        jit: wrap the result in ``jax.jit``. Pass False when composing the
+            kernel inside an outer transform (e.g. ``shard_map`` over a
+            device mesh) that jits the whole program itself.
     """
     from flygym_tpu.engine.model import State
 
@@ -1141,7 +1162,7 @@ def make_megastep(model):
     n_out = nq + nv + na + nv + 3 * nb + 4 * nb + 3 * nsite + nu + 16 * ns
 
     def kernel(in_ref, out_ref):
-        read = lambda i: in_ref[i, :]
+        read = lambda i: in_ref[i, 0]
         q = [read(i) for i in range(nq)]
         v = [read(nq + i) for i in range(nv)]
         ctrl = [read(nq + nv + i) for i in range(nu)]
@@ -1160,7 +1181,7 @@ def make_megastep(model):
         def wr(vals):
             nonlocal o
             for val in vals:
-                out_ref[o, :] = val
+                out_ref[o, 0] = val
                 o += 1
 
         wr(r["qpos"])
@@ -1177,7 +1198,6 @@ def make_megastep(model):
         for s_ in range(ns):
             wr(r["sensordata"][s_])
 
-    @jax.jit
     def megastep(state):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -1249,20 +1269,31 @@ def make_megastep(model):
             pl_b = planes(state.xpos, state.xquat)
             parts.append(pl_b.reshape(B, n_terrain).T.astype(dtype))
         packed = jnp.concatenate(parts, axis=0)
-        packed, B0 = _pad_lanes(packed)
-        nblk = packed.shape[1] // LANE
+        packed, B0 = _pad_lanes(packed, BLOCK)
+        bp = packed.shape[1]
+        nblk = bp // BLOCK
+        # Worlds pack as (block, sublane, lane): each per-world value is an
+        # (SUBLANES, LANE) tile inside the kernel — full VPU vregs.
+        packed = packed.reshape(n_in, nblk, SUBLANES, LANE)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_out, packed.shape[1]), dtype),
+            out_shape=jax.ShapeDtypeStruct((n_out, nblk, SUBLANES, LANE), dtype),
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((n_in, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    (n_in, 1, SUBLANES, LANE),
+                    lambda i: (0, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
             ],
             out_specs=pl.BlockSpec(
-                (n_out, LANE), lambda i: (0, i), memory_space=pltpu.VMEM
+                (n_out, 1, SUBLANES, LANE),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
+            interpret=interpret,
         )(packed)
-        out = out[:, :B0]
+        out = out.reshape(n_out, bp)[:, :B0]
         o = 0
 
         def take(n, shape):
@@ -1294,4 +1325,81 @@ def make_megastep(model):
             contact_sensordata=sens,
         )
 
-    return megastep
+    # interpret mode stays unjitted: the kernel body unrolls to ~1e5 ops,
+    # which the CPU backend would take tens of minutes to compile.
+    if interpret or not jit:
+        return megastep
+    return jax.jit(megastep)
+
+
+def make_megastep_sharded(
+    model, mesh, world_axis, state_template, interpret: bool = False
+):
+    """Mesh-sharded mega-step: shard_map of the kernel over the world axis.
+
+    Each device runs the Pallas kernel on its world shard — SPMD with zero
+    collectives (worlds are independent; the reference's only parallelism
+    axis, SURVEY §2.4). Zero-size State leaves (e.g. ``act`` with na=0,
+    ``site_xpos`` with nsite=0) are routed AROUND shard_map: XLA marks
+    zero-size outputs replicated, which trips shard_map's output-sharding
+    assertion, and their contents are degenerate anyway.
+
+    Args:
+        model: compiled PhysicsModel.
+        mesh: ``jax.sharding.Mesh`` with a ``world_axis`` axis.
+        world_axis: mesh axis name to shard worlds over.
+        state_template: a batched State (or matching ShapeDtypeStructs) with
+            the leading world axis, used to plan the empty-leaf routing.
+        interpret: run the kernel through the Pallas interpreter (CPU
+            meshes / CI). The result is left unjitted in interpret mode.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    raw = make_megastep(model, interpret=interpret, jit=False)
+    spec = P(world_axis)
+
+    in_leaves, in_tree = jax.tree.flatten(state_template)
+    in_empty = [int(np.prod(l.shape)) == 0 for l in in_leaves]
+    out_template = jax.eval_shape(raw, state_template)
+    out_leaves_t, out_tree = jax.tree.flatten(out_template)
+    out_empty = [int(np.prod(l.shape)) == 0 for l in out_leaves_t]
+
+    def core(*nonempty):
+        it = iter(nonempty)
+        b_shard = nonempty[0].shape[0]
+        full = [
+            jnp.zeros((b_shard,) + tuple(l.shape[1:]), l.dtype)
+            if e
+            else next(it)
+            for l, e in zip(in_leaves, in_empty)
+        ]
+        out = raw(jax.tree.unflatten(in_tree, full))
+        return tuple(
+            l for l, e in zip(jax.tree.leaves(out), out_empty) if not e
+        )
+
+    n_in = sum(1 for e in in_empty if not e)
+    n_out = sum(1 for e in out_empty if not e)
+    sharded_core = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(spec,) * n_in,
+        out_specs=(spec,) * n_out,
+        check_vma=False,
+    )
+
+    def megastep_sharded(state):
+        leaves = jax.tree.leaves(state)
+        nonempty_out = sharded_core(
+            *(l for l, e in zip(leaves, in_empty) if not e)
+        )
+        it = iter(nonempty_out)
+        out_leaves = [
+            jnp.zeros(t.shape, t.dtype) if e else next(it)
+            for t, e in zip(out_leaves_t, out_empty)
+        ]
+        return jax.tree.unflatten(out_tree, out_leaves)
+
+    if interpret:
+        return megastep_sharded
+    return jax.jit(megastep_sharded)

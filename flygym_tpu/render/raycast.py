@@ -144,6 +144,48 @@ def _ray_heightfield(model, origins, directions, n_march=64, n_bisect=14):
     return t, normal
 
 
+def _capsule_segments(model, gpos, gquat):
+    """World-space capsule segments (p0, p1, radius) for all geoms."""
+    z_axis = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], gpos.dtype))
+    half = model.geom_size[:, 1]
+    radius = model.geom_size[:, 0]
+    p0 = gpos - half[:, None] * z_axis
+    p1 = gpos + half[:, None] * z_axis
+    return p0, p1, radius
+
+
+def _nearest_capsule_hit(p0, p1, radius, capsule_mask, origins, directions):
+    """Nearest capsule hit per ray: (t, geom_idx).
+
+    Chunked nearest-hit tracking: materializing the full (rays, ngeom)
+    distance table costs ~0.5 GB per 1024 vmapped worlds at retina
+    resolution; an unrolled running min over small geom chunks keeps
+    intermediates at (rays, chunk) and lets XLA fuse each chunk's
+    intersection math into the reduction (vision render: ~65 ms → ~ms).
+    """
+    R = origins.shape[0]
+    CHUNK = 8
+    t_geom = jnp.full((R,), _BIG, origins.dtype)
+    idx_geom = jnp.zeros((R,), jnp.int32)
+    ngeom = p0.shape[0]
+    for c0 in range(0, ngeom, CHUNK):
+        c1 = min(c0 + CHUNK, ngeom)
+        t_c, _ = _ray_capsule(
+            origins[:, None, :],
+            directions[:, None, :],
+            p0[None, c0:c1, :],
+            p1[None, c0:c1, :],
+            radius[None, c0:c1],
+        )
+        t_c = jnp.where(capsule_mask[None, c0:c1] > 0, t_c, _BIG)
+        c_min = jnp.min(t_c, axis=1)
+        c_arg = jnp.argmin(t_c, axis=1).astype(jnp.int32) + c0
+        better = c_min < t_geom
+        t_geom = jnp.where(better, c_min, t_geom)
+        idx_geom = jnp.where(better, c_arg, idx_geom)
+    return t_geom, idx_geom
+
+
 def raycast_scene(
     model: PhysicsModel,
     gpos: jnp.ndarray,
@@ -164,37 +206,10 @@ def raycast_scene(
         geom_idx: (R,) nearest geom index, -1 for plane, -2 for sky.
         normal: (R, 3) surface normal at the hit.
     """
-    z_axis = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], gpos.dtype))
-    half = model.geom_size[:, 1]
-    radius = model.geom_size[:, 0]
-    p0 = gpos - half[:, None] * z_axis
-    p1 = gpos + half[:, None] * z_axis
-
-    # Chunked nearest-hit tracking: materializing the full (rays, ngeom)
-    # distance table costs ~0.5 GB per 1024 vmapped worlds at retina
-    # resolution; an unrolled running min over small geom chunks keeps
-    # intermediates at (rays, chunk) and lets XLA fuse each chunk's
-    # intersection math into the reduction (vision render: ~65 ms → ~ms).
-    R = origins.shape[0]
-    CHUNK = 8
-    t_geom = jnp.full((R,), _BIG, gpos.dtype)
-    idx_geom = jnp.zeros((R,), jnp.int32)
-    ngeom = p0.shape[0]
-    for c0 in range(0, ngeom, CHUNK):
-        c1 = min(c0 + CHUNK, ngeom)
-        t_c, _ = _ray_capsule(
-            origins[:, None, :],
-            directions[:, None, :],
-            p0[None, c0:c1, :],
-            p1[None, c0:c1, :],
-            radius[None, c0:c1],
-        )
-        t_c = jnp.where(capsule_mask[None, c0:c1] > 0, t_c, _BIG)
-        c_min = jnp.min(t_c, axis=1)
-        c_arg = jnp.argmin(t_c, axis=1).astype(jnp.int32) + c0
-        better = c_min < t_geom
-        t_geom = jnp.where(better, c_min, t_geom)
-        idx_geom = jnp.where(better, c_arg, idx_geom)
+    p0, p1, radius = _capsule_segments(model, gpos, gquat)
+    t_geom, idx_geom = _nearest_capsule_hit(
+        p0, p1, radius, capsule_mask, origins, directions
+    )
 
     if model.has_hfield:
         t_plane, n_ground = _ray_heightfield(model, origins, directions)
@@ -255,7 +270,9 @@ def render_pixels(
 
     hit_p = origins + t[:, None] * dirs
 
-    # Base colors.
+    # Base colors (per-geom materials come from visuals.json via
+    # Fly.colorize → model.geom_rgba, the reference's material pipeline,
+    # ``fly.py:443-469``).
     geom_rgb = model.geom_rgba[jnp.maximum(geom_idx, 0), :3]
     checker = (
         jnp.floor(hit_p[:, 0] / checker_period)
@@ -273,9 +290,23 @@ def render_pixels(
         jnp.where((geom_idx == -1)[:, None], ground_rgb, sky_rgb),
     )
 
-    # Headlight shading (light from the camera).
-    lambert = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
-    shade = 0.45 + 0.55 * lambert
+    # Lighting: fixed sun + camera headlight fill + hard shadow ray.
+    # The shadow test only needs the capsules (the ground plane cannot
+    # shadow itself), so it reuses the chunked capsule sweep — one extra
+    # sweep, no heightfield march.
+    sun = jnp.array([0.3, 0.2, 0.93], dtype)
+    sun = sun / jnp.linalg.norm(sun)
+    p0, p1, radius = _capsule_segments(model, gpos, gquat)
+    shadow_orig = hit_p + 1e-2 * normal  # mm-scale scene: 10 µm bias
+    sun_dirs = jnp.broadcast_to(sun, shadow_orig.shape)
+    t_shadow, _ = _nearest_capsule_hit(
+        p0, p1, radius, capsule_mask, shadow_orig, sun_dirs
+    )
+    lit = jnp.where(t_shadow < _BIG, 0.35, 1.0)  # soft-ish umbra
+
+    diffuse = jnp.maximum(jnp.sum(normal * sun, axis=-1), 0.0)
+    headlight = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
+    shade = 0.30 + 0.25 * headlight + 0.50 * diffuse * lit
     rgb = base * jnp.where((geom_idx == -2)[:, None], 1.0, shade[:, None])
 
     # Subtle distance fog on the ground for depth perception.

@@ -71,6 +71,14 @@ class Renderer:
         )
         self._capsule_mask = jnp.asarray(capsule_mask)
         self._render_fn = jax.jit(self._render_one_camera, static_argnums=(0,))
+        # One device call renders all selected worlds (the reference's GPU
+        # batch renderer semantics, ``warp/rendering.py:279-341``) instead
+        # of a host loop per world.
+        self._render_fn_batch = jax.jit(
+            jax.vmap(self._render_one_camera, in_axes=(None, 0)),
+            static_argnums=(0,),
+        )
+        self._world_ids_idx = jnp.asarray(self.world_ids, jnp.int32)
 
         self._frames: dict[str, list] = {name: [] for name in self.camera_names}
         self._last_render_time = -np.inf
@@ -92,12 +100,40 @@ class Renderer:
         raise TypeError(f"Invalid camera spec: {camera!r}")
 
     def _camera_pose(self, cam: CameraSpec, state: State):
+        """Camera world pose per MuJoCo camera-mode semantics.
+
+        - ``fixed``: pos/quat as specified.
+        - ``track``: position follows the target body (constant world-frame
+          offset), orientation fixed — MuJoCo ``mode="track"``, the
+          reference's tracking camera (``fly.py:471-505``).
+        - ``targetbody``/``targetbodycom``: position as specified,
+          orientation re-aimed at the target body every frame.
+        """
         pos = jnp.asarray(cam.pos, jnp.float32)
         quat = jnp.asarray(cam.quat, jnp.float32)
-        if cam.mode == "track" and cam.target is not None:
-            target_id = self.world.compiled.body_name2id[cam.target]
-            # Track mode: position follows the target body, orientation fixed.
-            pos = state.xpos[target_id] + pos
+        if cam.target is None or cam.mode == "fixed":
+            return pos, quat
+        target_id = self.world.compiled.body_name2id[cam.target]
+        target = state.xpos[target_id]
+        if cam.mode == "track":
+            return target + pos, quat
+        if cam.mode in ("targetbody", "targetbodycom"):
+            # Look-at: camera -z axis toward the target, world +z as up.
+            from flygym_tpu.engine.maths import mat_to_quat
+
+            fwd = target - pos
+            fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-9)
+            up_w = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+            right = jnp.cross(fwd, up_w)
+            rn = jnp.linalg.norm(right)
+            # Degenerate (looking straight up/down): fall back to +x right.
+            right = jnp.where(
+                rn > 1e-6, right / jnp.maximum(rn, 1e-9),
+                jnp.array([1.0, 0.0, 0.0], jnp.float32),
+            )
+            up = jnp.cross(right, fwd)
+            R = jnp.stack([right, up, -fwd], axis=1)  # columns: x, y, z
+            return pos, mat_to_quat(R)
         return pos, quat
 
     def _render_one_camera(self, cam_index: int, state: State):
@@ -144,11 +180,10 @@ class Renderer:
         out = {}
         for ci, name in enumerate(self.camera_names):
             if batched:
-                frames = []
-                for w in self.world_ids:
-                    sub = jax.tree.map(lambda x: x[w], state)
-                    frames.append(self._render_fn(ci, sub))
-                frame = np.stack([np.asarray(f) for f in frames])
+                # Gather the selected worlds and render them in ONE vmapped
+                # device call.
+                sub = jax.tree.map(lambda x: x[self._world_ids_idx], state)
+                frame = np.asarray(self._render_fn_batch(ci, sub))
             else:
                 frame = np.asarray(self._render_fn(ci, state))
             frame = (np.clip(frame, 0, 1) * 255).astype(np.uint8)
@@ -184,6 +219,54 @@ class Renderer:
         if frames and frames[0].ndim == 4:
             frames = [f[0] for f in frames]  # first selected world by default
         write_video(Path(path), frames, fps=self.output_fps)
+
+    def show_in_notebook(self, camera: str | None = None, **kwargs: Any) -> None:
+        """Display buffered frames inline in a Jupyter notebook
+        (reference ``rendering.py:125-147``, mediapy ``show_video``).
+
+        Uses mediapy when available; otherwise falls back to an embedded
+        base64 mp4 via IPython. Raises a helpful error outside notebooks.
+        """
+        cameras = [camera] if camera else self.camera_names
+        for name in cameras:
+            frames = self.get_frames(name)
+            if not frames:
+                raise RuntimeError(f"No frames recorded yet for camera '{name}'.")
+            if frames[0].ndim == 4:  # batched: show world 0
+                frames = [f[0] for f in frames]
+            try:
+                import mediapy
+
+                mediapy.show_video(
+                    frames, fps=self.output_fps, title=name, **kwargs
+                )
+                continue
+            except ImportError:
+                pass
+            try:
+                import base64
+                import io
+
+                import imageio.v2 as imageio
+                from IPython.display import HTML, display
+
+                buf = io.BytesIO()
+                imageio.mimwrite(
+                    buf, frames, format="mp4", fps=self.output_fps
+                )
+                b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+                display(
+                    HTML(
+                        f"<div><b>{name}</b><br>"
+                        f'<video controls autoplay loop src='
+                        f'"data:video/mp4;base64,{b64}"></video></div>'
+                    )
+                )
+            except ImportError as e:
+                raise RuntimeError(
+                    "Notebook display needs mediapy or IPython+imageio; "
+                    "use save_video(path) instead."
+                ) from e
 
     def save_video_grid(self, path: PathLike, camera: str | None = None) -> None:
         """Multi-world grid montage video with world-ID overlays
@@ -228,16 +311,49 @@ def preview_model(
     return frame
 
 
-def launch_interactive_viewer(world, **kwargs):
-    """Interactive viewing is not available on headless TPU hosts.
+def launch_interactive_viewer(
+    world, run_async: bool = False, init_keyframe: str | None = "neutral"
+):
+    """Launch MuJoCo's built-in interactive viewer on the composed world
+    (reference ``rendering.py:271-297``).
 
-    The reference launches the native MuJoCo viewer
-    (``rendering.py:271-297``); here, export the model and view it with any
-    MJCF-compatible viewer, or use :func:`preview_model` for offline frames.
+    The compiled model exports as standalone MJCF (primitive geoms +
+    explicit inertials), which the stock MuJoCo viewer loads directly — so
+    interactive inspection works anywhere ``mujoco`` + a GL display are
+    available (a workstation install), with no TPU involved.
+
+    Args:
+        world: A composed world (any :class:`BaseCompositionElement`).
+        run_async: Launch in a separate process and return immediately
+            (use from Jupyter notebooks).
+        init_keyframe: Keyframe to reset to before launching ("neutral" —
+            the only keyframe the composer maintains — or None for the
+            model's default state).
     """
-    raise NotImplementedError(
-        "Interactive viewing requires a display; this TPU build is headless. "
-        "Use preview_model(world) for offline frames, or "
-        "world.save_xml_with_assets(path) and open the MJCF in a MuJoCo "
-        "viewer on a workstation."
-    )
+    try:
+        import mujoco
+        import mujoco.viewer
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "Interactive viewing needs the `mujoco` package (pip install "
+            "mujoco) and a display. On headless hosts, use "
+            "preview_model(world) for offline frames or "
+            "world.save_xml_with_assets(path) and open the MJCF elsewhere."
+        ) from e
+
+    mj_model = mujoco.MjModel.from_xml_string(world.spec.to_mjcf_xml())
+    mj_data = mujoco.MjData(mj_model)
+    if init_keyframe is not None and mj_model.nkey > 0:
+        key_id = mujoco.mj_name2id(
+            mj_model, mujoco.mjtObj.mjOBJ_KEY, init_keyframe
+        )
+        if key_id >= 0:
+            mujoco.mj_resetDataKeyframe(mj_model, mj_data, key_id)
+
+    if run_async:
+        from multiprocessing import Process
+
+        p = Process(target=mujoco.viewer.launch, args=(mj_model, mj_data))
+        p.start()  # don't join — the viewer owns its own lifetime
+        return p
+    mujoco.viewer.launch(mj_model, mj_data)

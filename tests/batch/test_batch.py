@@ -146,6 +146,53 @@ class TestSharding:
             ref.step()
         assert np.allclose(angles, np.asarray(ref.get_joint_angles(FLY)), atol=1e-6)
 
+    def test_mesh_sharded_megastep_wiring(self, world, monkeypatch):
+        """Mesh-sharded runs route stepping through the Pallas mega-kernel
+        via shard_map over the world axis (each device runs the kernel on
+        its shard). Exercised on the virtual CPU mesh with the Pallas
+        interpreter and a cheap mock emitter (the real ~2e5-op emitter is
+        interpreter-prohibitive; its physics is covered by the emitter and
+        on-TPU tests)."""
+        import jax.numpy as jnp
+
+        from flygym_tpu.ops import megastep as ms
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        def mock_emit(st, q, v, ctrl, act, warm, terrain=None):
+            z = jnp.zeros_like(q[0])
+            return dict(
+                qpos=[x + 1.0 for x in q],
+                qvel=list(v),
+                act=list(act),
+                qacc=list(warm),
+                xpos=[(z, z, z) for _ in range(st.nbody)],
+                xquat=[(z + 1.0, z, z, z) for _ in range(st.nbody)],
+                site_xpos=[(z, z, z) for _ in range(st.nsite)],
+                actuator_force=[2.0 * c for c in ctrl],
+                sensordata=[[z] * 16 for _ in range(st.nsensor)],
+            )
+
+        monkeypatch.setattr(ms, "emit_step", mock_emit)
+        monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_INTERPRET", "1")
+        mesh = Mesh(np.array(devices[:8]), axis_names=("world",))
+        bsim = flygym_tpu.BatchSimulation(world, 16, mesh=mesh)
+        assert bsim._megastep is not None, "mesh run must use the mega-kernel"
+        qpos0 = np.asarray(bsim.state.qpos)
+        ctrl0 = np.asarray(bsim.state.ctrl)
+        bsim.step()
+        np.testing.assert_allclose(
+            np.asarray(bsim.state.qpos), qpos0 + 1.0, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(bsim.state.actuator_force), 2.0 * ctrl0, atol=1e-6
+        )
+        # State stays sharded over the mesh after the kernel step.
+        shd = bsim.state.qpos.sharding
+        assert getattr(shd, "mesh", None) is not None
+
     def test_indivisible_worlds_raises(self, world):
         devices = jax.devices()
         if len(devices) < 8:

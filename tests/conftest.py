@@ -13,17 +13,24 @@ initialized yet.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# FLYGYM_TPU_TEST_BACKEND=tpu keeps the real TPU backend for the tests in
+# tests/tpu/ (marked @pytest.mark.tpu); the default is the 8-virtual-device
+# CPU backend.
+_TEST_BACKEND = os.environ.get("FLYGYM_TPU_TEST_BACKEND", "cpu")
+
+if _TEST_BACKEND == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _TEST_BACKEND == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the physics step traces to a large program
 # (tree-LDL levels, Newton iterations); caching compiled executables across

@@ -6,6 +6,8 @@ constants, enums, presets, skeleton/tree validation.
 
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from flygym_tpu.anatomy import (
     ALL_CONNECTED_SEGMENT_PAIRS,
     ALL_SEGMENT_NAMES,

@@ -7,6 +7,8 @@ import dataclasses
 
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from flygym_tpu.compose.physics import ContactParams
 
 

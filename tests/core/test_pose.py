@@ -8,6 +8,8 @@ import math
 
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from flygym_tpu.anatomy import AxisOrder
 from flygym_tpu.compose.pose import KinematicPose, KinematicPosePreset
 

@@ -116,6 +116,35 @@ class TestBatchRendering:
         # Identical worlds → identical renders.
         assert np.array_equal(frame[0], frame[1])
 
+    def test_targetbody_camera_aims_at_fly(self):
+        """``targetbody`` mode re-aims the camera at the target every frame
+        (MuJoCo camera semantics; ``track`` keeps orientation fixed)."""
+        fly = Fly(name=FLY)
+        fly.add_joints(
+            Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_tracking_camera(
+            name="aimcam", mode="targetbody", pos_offset=(0, -10, 4), fovy=40
+        )
+        world = FlatGroundWorld()
+        # Spawn far from the camera's default aim direction.
+        world.add_fly(fly, (6, 5, 2.0), Rotation3D("quat", (1, 0, 0, 0)))
+        sim = flygym_tpu.Simulation(world)
+        renderer = sim.set_renderer("aimcam", camera_res=(40, 52))
+        frame = next(iter(renderer.render(sim.state).values()))
+        # The fly must appear near the image center despite the offset spawn.
+        gray = frame.astype(np.float32).mean(-1)
+        sky = gray[0, :].mean()
+        center = gray[14:26, 18:34]
+        assert np.abs(center - sky).max() > 15, "fly not centered in view"
+
+    def test_show_in_notebook_requires_frames(self, sim):
+        sim.reset()
+        renderer = sim.set_renderer("trackcam", camera_res=(24, 32))
+        with pytest.raises(RuntimeError):
+            renderer.show_in_notebook()
+
     def test_grid_montage(self, world, tmp_path):
         from flygym_tpu.utils.video import montage_grid
 
@@ -131,11 +160,32 @@ class TestPreview:
         frame = preview_model(world, "trackcam", duration_s=0.002, camera_res=(24, 32))
         assert frame.shape == (24, 32, 3)
 
-    def test_interactive_viewer_raises_headless(self, world):
+    def test_interactive_viewer_launches_mujoco(self, world, monkeypatch):
+        """The viewer loads the exported MJCF into stock MuJoCo, resets the
+        neutral keyframe, and hands off to mujoco.viewer.launch (reference
+        ``rendering.py:271-297``). Launch is stubbed: no GL on CI."""
+        mujoco = pytest.importorskip("mujoco")
+        import mujoco.viewer
+
+        called = {}
+
+        def fake_launch(m, d):
+            called["model"], called["data"] = m, d
+
+        monkeypatch.setattr(mujoco.viewer, "launch", fake_launch)
         from flygym_tpu.render import launch_interactive_viewer
 
-        with pytest.raises(NotImplementedError):
-            launch_interactive_viewer(world)
+        launch_interactive_viewer(world)
+        assert called["model"].nq > 0
+        # Neutral keyframe applied: root body spawned at z = 2 mm.
+        assert np.isfinite(called["data"].qpos).all()
+        key_id = mujoco.mj_name2id(
+            called["model"], mujoco.mjtObj.mjOBJ_KEY, "neutral"
+        )
+        assert key_id >= 0
+        np.testing.assert_allclose(
+            called["data"].qpos, called["model"].key_qpos[key_id]
+        )
 
 
 class TestHeightfieldRaycast:

@@ -5,6 +5,8 @@ Modeled on flygym ``tests/core/test_utils.py``.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.fast
 from scipy.spatial.transform import Rotation as R
 
 from flygym_tpu.utils.math import Rotation3D, Tree, orderedset

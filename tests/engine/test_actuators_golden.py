@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 import jax
 
 mujoco = pytest.importorskip("mujoco")

@@ -10,6 +10,8 @@ strategy (flygym ``tests/warp/test_simulation.py:239-251``).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 import jax
 
 mujoco = pytest.importorskip("mujoco")

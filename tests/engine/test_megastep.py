@@ -9,6 +9,8 @@ same code that runs inside the kernel, minus the Pallas plumbing.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -174,6 +176,80 @@ class TestEmitterMatchesEngine:
         np.testing.assert_allclose(
             np.asarray(s_emit.qvel), np.asarray(s_ref.qvel), atol=5e-2
         )
+
+
+class TestPallasCallPlumbing:
+    """The full pallas_call glue — input packing/transpose, padding to the
+    (SUBLANES, LANE) world block, 4-D block specs, per-row read/write
+    offsets, output unpack — through the Pallas interpreter on CPU.
+
+    The real emitter is ~2e5 ops (the interpreter costs ~2 ms/op, so the
+    full kernel can never run interpreted in CI); it is validated separately
+    on (B,) arrays by the emitter tests above, and on real hardware by the
+    TPU smoke test (tests/tpu/). Here a cheap mock emitter with a distinct,
+    shape-generic transform per field proves every input row is routed to
+    the kernel and every kernel output lands in the right State field —
+    exactly the plumbing a packing/layout regression would break."""
+
+    def test_megastep_glue_routes_all_rows(self, settled, monkeypatch):
+        model, bstate = settled
+        st_real = ms._Static(model)
+        nbody, nsite, nsensor = st_real.nbody, st_real.nsite, st_real.nsensor
+
+        def mock_emit(st, q, v, ctrl, act, warm, terrain=None):
+            z = jnp.zeros_like(q[0])
+            return dict(
+                qpos=[2.0 * x + 1.0 for x in q],
+                qvel=[3.0 * x for x in v],
+                act=[x + 0.5 for x in act],
+                qacc=[x - 1.0 for x in warm],
+                xpos=[
+                    (q[0] + float(b), v[0] - float(b), z + float(b))
+                    for b in range(st.nbody)
+                ],
+                xquat=[
+                    (z + 1.0, z, z + float(b), z - float(b))
+                    for b in range(st.nbody)
+                ],
+                site_xpos=[
+                    (z + float(s), q[1] + float(s), z) for s in range(st.nsite)
+                ],
+                actuator_force=[4.0 * c for c in ctrl],
+                sensordata=[
+                    [z + float(s * 16 + k) for k in range(16)]
+                    for s in range(st.nsensor)
+                ],
+            )
+
+        monkeypatch.setattr(ms, "emit_step", mock_emit)
+        mega = ms.make_megastep(model, interpret=True)
+        got = mega(bstate)
+        bs = lambda x: np.asarray(x)
+
+        np.testing.assert_allclose(bs(got.qpos), 2 * bs(bstate.qpos) + 1, rtol=1e-6)
+        np.testing.assert_allclose(bs(got.qvel), 3 * bs(bstate.qvel), rtol=1e-6)
+        np.testing.assert_allclose(bs(got.act), bs(bstate.act) + 0.5, rtol=1e-6)
+        np.testing.assert_allclose(bs(got.qacc), bs(bstate.qacc) - 1, rtol=1e-6)
+        np.testing.assert_allclose(bs(got.actuator_force), 4 * bs(bstate.ctrl), rtol=1e-6)
+        q0 = bs(bstate.qpos)[:, 0]
+        v0 = bs(bstate.qvel)[:, 0]
+        q1 = bs(bstate.qpos)[:, 1]
+        b_idx = np.arange(nbody, dtype=np.float32)
+        np.testing.assert_allclose(bs(got.xpos)[:, :, 0], q0[:, None] + b_idx, rtol=1e-6)
+        np.testing.assert_allclose(bs(got.xpos)[:, :, 1], v0[:, None] - b_idx, rtol=1e-6)
+        np.testing.assert_allclose(bs(got.xpos)[:, :, 2], np.broadcast_to(b_idx, (B, nbody)), rtol=1e-6)
+        np.testing.assert_allclose(bs(got.xquat)[:, :, 0], np.ones((B, nbody)), rtol=1e-6)
+        np.testing.assert_allclose(bs(got.xquat)[:, :, 2], np.broadcast_to(b_idx, (B, nbody)), rtol=1e-6)
+        s_idx = np.arange(nsite, dtype=np.float32)
+        np.testing.assert_allclose(bs(got.site_xpos)[:, :, 0], np.broadcast_to(s_idx, (B, nsite)), rtol=1e-6)
+        np.testing.assert_allclose(bs(got.site_xpos)[:, :, 1], q1[:, None] + s_idx, rtol=1e-6)
+        sens_idx = np.arange(nsensor * 16, dtype=np.float32).reshape(nsensor, 16)
+        np.testing.assert_allclose(
+            bs(got.contact_sensordata), np.broadcast_to(sens_idx, (B, nsensor, 16)), rtol=1e-6
+        )
+        # Bookkeeping fields the wrapper must pass through / advance.
+        np.testing.assert_allclose(bs(got.time), bs(bstate.time) + model.timestep, rtol=1e-6)
+        np.testing.assert_array_equal(bs(got.ctrl), bs(bstate.ctrl))
 
 
 class TestEmitterMuscle:

@@ -9,6 +9,8 @@ steps both engines side by side.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.golden
+
 mujoco = pytest.importorskip("mujoco")
 
 from flygym_tpu.anatomy import AxisOrder, JointPreset, Skeleton

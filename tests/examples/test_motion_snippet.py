@@ -8,6 +8,8 @@ high-frequency noise.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from flygym_tpu.compose import ActuatorType
 from flygym_tpu.demo import MotionSnippet, make_model
 

@@ -1,0 +1,129 @@
+"""On-TPU smoke tests for the Pallas mega-step kernel.
+
+Run with real hardware (the regular suite forces the CPU backend and skips
+these):
+
+    FLYGYM_TPU_TEST_BACKEND=tpu python -m pytest tests/tpu -m tpu -q
+
+Compares the Mosaic-compiled kernel against the vmapped jnp step for a
+128-world batch — the regression net for Mosaic lowering / sublane-packing
+bugs that the CPU-side tests (emitter on (B,) arrays; pallas_call glue with a
+mock emitter) cannot see.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+if jax.default_backend() != "tpu":  # pragma: no cover - env-dependent
+    pytest.skip("requires the TPU backend", allow_module_level=True)
+
+from flygym_tpu.anatomy import ActuatedDOFPreset, AxisOrder, JointPreset, Skeleton
+from flygym_tpu.compose import (
+    ActuatorType,
+    Fly,
+    FlatGroundWorld,
+    KinematicPosePreset,
+)
+from flygym_tpu.engine.step import step
+from flygym_tpu.ops.megastep import make_megastep
+from flygym_tpu.utils.math import Rotation3D
+
+B = 128
+
+
+@pytest.fixture(scope="module")
+def flat_world_state():
+    fly = Fly(name="f")
+    fly.add_joints(
+        Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+        neutral_pose=KinematicPosePreset.NEUTRAL,
+    )
+    dofs = fly.skeleton.get_actuated_dofs_from_preset(
+        ActuatedDOFPreset.LEGS_ACTIVE_ONLY
+    )
+    fly.add_actuators(
+        dofs, ActuatorType.POSITION, kp=50.0, neutral_input=KinematicPosePreset.NEUTRAL
+    )
+    fly.add_leg_adhesion()
+    world = FlatGroundWorld()
+    world.add_fly(fly, (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+    model, state0 = world.compile()
+
+    bstate = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
+    )
+    # Perturb controls per world so lanes are NOT identical — a lane/sublane
+    # transposition bug would pass on a broadcast batch.
+    key = jax.random.PRNGKey(0)
+    ctrl = bstate.ctrl + 0.02 * jax.random.normal(key, bstate.ctrl.shape)
+    bstate = dataclasses.replace(bstate, ctrl=ctrl.astype(jnp.float32))
+    f = jax.jit(jax.vmap(lambda s: step(model, s)))
+    # Settle on the ground with a scanned rollout: ONE compile + one device
+    # call instead of 300 dispatches over the axon tunnel.
+    from flygym_tpu.engine.step import rollout_batched
+
+    nan_ctrl = jnp.full((300, B, model.nu), jnp.nan, jnp.float32)
+    bstate, _ = rollout_batched(model, bstate, nan_ctrl, 300)
+    mega = make_megastep(model)  # compiled once, shared by all tests
+    return model, bstate, f, mega
+
+
+class TestMegastepOnTPU:
+    def test_kernel_matches_vmapped_step(self, flat_world_state):
+        model, bstate, f, mega = flat_world_state
+        got = jax.block_until_ready(mega(bstate))
+        ref = f(bstate)
+        # Host fetch is the only reliable sync on the axon backend.
+        got_np = jax.tree_util.tree_map(np.asarray, got)
+        ref_np = jax.tree_util.tree_map(np.asarray, ref)
+        np.testing.assert_allclose(got_np.xpos, ref_np.xpos, atol=1e-4)
+        np.testing.assert_allclose(got_np.qpos, ref_np.qpos, atol=1e-4)
+        np.testing.assert_allclose(got_np.qvel, ref_np.qvel, atol=5e-2)
+        np.testing.assert_allclose(
+            got_np.actuator_force, ref_np.actuator_force, rtol=1e-3, atol=1e-3
+        )
+        # Contact forces: Mosaic's fp32 accumulation order differs from the
+        # XLA step's matmul trees; near-cancelling Newton terms leave ~0.5%
+        # relative noise on O(1) mN forces (measured 1.2e-2 max abs).
+        np.testing.assert_allclose(
+            got_np.contact_sensordata[..., :4],
+            ref_np.contact_sensordata[..., :4],
+            rtol=1e-2,
+            atol=2e-2,
+        )
+
+    def test_kernel_world_permutation_equivariance(self, flat_world_state):
+        """Permuting worlds permutes outputs — catches sublane/lane packing
+        transpositions that identical-lane batches would hide."""
+        model, bstate, _, mega = flat_world_state
+        perm = np.random.RandomState(1).permutation(B)
+        permuted = jax.tree_util.tree_map(lambda x: x[perm], bstate)
+        out = mega(bstate)
+        out_perm = mega(permuted)
+        np.testing.assert_allclose(
+            np.asarray(out.qpos)[perm], np.asarray(out_perm.qpos), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.contact_sensordata)[perm],
+            np.asarray(out_perm.contact_sensordata),
+            atol=1e-6,
+        )
+
+    def test_non_multiple_batch_padding(self, flat_world_state):
+        """B not a multiple of the 1024-world block: pad/slice must be exact."""
+        model, bstate, _, mega = flat_world_state
+        small = jax.tree_util.tree_map(lambda x: x[:37], bstate)
+        out_small = mega(small)
+        out_full = mega(bstate)
+        np.testing.assert_allclose(
+            np.asarray(out_small.qpos),
+            np.asarray(out_full.qpos)[:37],
+            atol=1e-6,
+        )
