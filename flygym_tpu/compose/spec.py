@@ -603,14 +603,36 @@ class ModelSpec:
             s.full_identifier: si for si, s in enumerate(self.contact_sensors)
         }
         can_rows = []
+        pair_rows = []  # capsule-capsule rows (appended after ground rows)
         for pair in self.pairs:
             g1 = geom_name2idx[pair.geom1]
             g2 = geom_name2idx[pair.geom2]
             if geom_types[g2] != "plane":
-                raise NotImplementedError(
-                    "Only body-geom vs ground-plane contact pairs are "
-                    f"supported (got {geom_types[g2]})"
+                # Capsule-capsule pair (fly-fly contact): one closest-point
+                # contact per geom pair, solved with the same pyramid rows
+                # as ground contacts (reference multi-fly worlds rely on
+                # MuJoCo's capsule-capsule collider; ``world.py:95-149``).
+                if geom_types[g1] not in ("capsule", "sphere") or geom_types[
+                    g2
+                ] not in ("capsule", "sphere"):
+                    raise NotImplementedError(
+                        "Contact pairs support capsule/sphere vs plane or "
+                        f"capsule/sphere (got {geom_types[g1]} vs "
+                        f"{geom_types[g2]})"
+                    )
+                pair_rows.append(
+                    (
+                        g1,
+                        geom_body[g1],
+                        g2,
+                        geom_body[g2],
+                        (pair.friction[0], pair.friction[2], pair.friction[3]),
+                        pair.solref,
+                        pair.solimp,
+                        pair.margin,
+                    )
                 )
+                continue
             gtype = geom_types[g1]
             if gtype == "capsule":
                 ends = (-1.0, 1.0)
@@ -650,9 +672,12 @@ class ModelSpec:
                         sensor_idx,
                     )
                 )
-        ncand = len(can_rows)
+        ncand_pair = len(pair_rows)
+        ncand = len(can_rows) + ncand_pair
         can_geom = np.zeros(ncand, i32)
         can_body = np.zeros(ncand, i32)
+        can_geom2 = -np.ones(ncand, i32)
+        can_body2 = np.zeros(ncand, i32)  # 0 = world (ground rows)
         can_end = np.zeros(ncand, f32)
         can_friction = np.zeros((ncand, 3), f32)
         can_solref = np.zeros((ncand, 2), f32)
@@ -671,6 +696,18 @@ class ModelSpec:
                 can_margin[ci],
                 can_adh_act[ci],
                 can_sensor[ci],
+            ) = row
+        for pi, row in enumerate(pair_rows):
+            ci = len(can_rows) + pi
+            (
+                can_geom[ci],
+                can_body[ci],
+                can_geom2[ci],
+                can_body2[ci],
+                can_friction[ci],
+                can_solref[ci],
+                can_solimp[ci],
+                can_margin[ci],
             ) = row
 
         # --- sites ---
@@ -738,6 +775,7 @@ class ModelSpec:
             nsite=nsite,
             ngeom=ng,
             ncand=ncand,
+            ncand_pair=ncand_pair,
             ncon=ncon,
             condim=condim,
             nsensor_contact=len(self.contact_sensors),
@@ -785,6 +823,8 @@ class ModelSpec:
             geom_rgba=jnp.asarray(geom_rgba),
             can_geom=jnp.asarray(can_geom),
             can_body=jnp.asarray(can_body),
+            can_geom2=jnp.asarray(can_geom2),
+            can_body2=jnp.asarray(can_body2),
             can_end=jnp.asarray(can_end),
             can_friction=jnp.asarray(can_friction),
             can_solref=jnp.asarray(can_solref),

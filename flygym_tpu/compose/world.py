@@ -98,6 +98,65 @@ class BaseWorld(BaseCompositionElement):
         self._spec.world_geoms.append(geom)
         return geom
 
+    def add_fly_fly_contacts(
+        self,
+        fly1: "Fly | str",
+        fly2: "Fly | str",
+        *,
+        bodysegs: (
+            "list[BodySegment] | ContactBodiesPreset | str"
+        ) = ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD,
+        contact_params: ContactParams = ContactParams(),
+    ) -> int:
+        """Make two flies in this world physically collide.
+
+        Adds explicit capsule-capsule contact pairs between the selected
+        body segments of both flies (the analog of the reference's
+        explicit-pair contact machinery for multi-fly worlds,
+        ``world.py:95-149``; MuJoCo there falls back to its capsule-capsule
+        collider). Both flies must already be attached.
+
+        Args:
+            fly1, fly2: Fly objects or names.
+            bodysegs: Which segments of EACH fly participate.
+            contact_params: Contact model parameters for the pairs.
+
+        Returns:
+            The number of contact pairs added.
+        """
+        name1 = fly1 if isinstance(fly1, str) else fly1.name
+        name2 = fly2 if isinstance(fly2, str) else fly2.name
+        if name1 == name2:
+            raise ValueError("Need two distinct flies for fly-fly contacts.")
+        for nm in (name1, name2):
+            if nm not in self._fly_lookup:
+                raise ValueError(f"Fly '{nm}' is not attached to this world.")
+        f1, f2 = self._fly_lookup[name1], self._fly_lookup[name2]
+        if isinstance(bodysegs, (ContactBodiesPreset, str)):
+            bodysegs = ContactBodiesPreset(bodysegs).to_body_segments_list()
+        friction = contact_params.get_friction_tuple()
+        solref = contact_params.get_solref_tuple()
+        solimp = contact_params.get_solimp_full_tuple()
+        n_added = 0
+        for s1 in bodysegs:
+            g1 = f1.bodyseg_to_specgeom[s1]
+            for s2 in bodysegs:
+                g2 = f2.bodyseg_to_specgeom[s2]
+                self._spec.pairs.append(
+                    PairSpec(
+                        geom1=g1.full_identifier,
+                        geom2=g2.full_identifier,
+                        name=f"{name1}.{s1.name}-{name2}.{s2.name}",
+                        condim=contact_params.condim,
+                        friction=friction,
+                        solref=solref,
+                        solimp=solimp,
+                        margin=contact_params.margin,
+                    )
+                )
+                n_added += 1
+        return n_added
+
     def add_fly(
         self,
         fly: Fly,

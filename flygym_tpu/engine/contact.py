@@ -85,24 +85,93 @@ def ground_height_normal(model: PhysicsModel, xy: jnp.ndarray):
     return h, n
 
 
+def _segseg_closest(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1] and [p2,q2] (branchless
+    Ericson clamp; safe for degenerate zero-length segments = spheres).
+
+    Args: (..., 3) endpoints. Returns (c1, c2) of shape (..., 3).
+    """
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+    denom = a * e - b * b
+    s = jnp.where(
+        denom > 1e-12, jnp.clip((b * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0
+    )
+    t = jnp.where(e > 1e-12, (b * s + f) / jnp.maximum(e, 1e-12), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(
+        a > 1e-12, jnp.clip((b * t - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), 0.0
+    )
+    c1 = p1 + s[..., None] * d1
+    c2 = p2 + t[..., None] * d2
+    return c1, c2
+
+
 def contact_candidates(model: PhysicsModel, gpos, gquat):
     """Distances, positions, and normals of all candidate contact points.
 
+    The first ``ncand - ncand_pair`` rows are capsule-end vs ground; the
+    last ``ncand_pair`` rows are capsule vs capsule (fly-fly contacts,
+    closest-point; normals point from geom2 toward geom1, matching the
+    up-pointing ground convention).
+
     Returns:
-        dist: (ncand,) signed surface distance to the ground.
+        dist: (ncand,) signed surface separation.
         cpos: (ncand, 3) contact midpoint positions.
-        normal: (ncand, 3) ground normals at the contacts.
+        normal: (ncand, 3) contact normals.
     """
-    g = model.can_geom
-    z_axis = quat_rotate(gquat[g], jnp.array([0.0, 0.0, 1.0], gpos.dtype))
+    ng_rows = model.ncand - model.ncand_pair
+    z_all = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], gpos.dtype))
+
+    g = model.can_geom[:ng_rows]
+    z_axis = z_all[g]
     radius = model.geom_size[g, 0]
     halflen = model.geom_size[g, 1]
-    endpoint = gpos[g] + model.can_end[:, None] * halflen[:, None] * z_axis
+    endpoint = (
+        gpos[g]
+        + model.can_end[:ng_rows, None] * halflen[:, None] * z_axis
+    )
     h, n = ground_height_normal(model, endpoint[:, :2])
     # Signed distance along the local surface normal.
     dist = (endpoint[:, 2] - h) * n[:, 2] - radius
     cpos = endpoint - (radius + 0.5 * dist)[:, None] * n
-    return dist, cpos, n
+
+    if model.ncand_pair == 0:
+        return dist, cpos, n
+
+    g1 = model.can_geom[ng_rows:]
+    g2 = model.can_geom2[ng_rows:]
+    r1 = model.geom_size[g1, 0]
+    r2 = model.geom_size[g2, 0]
+    h1 = model.geom_size[g1, 1]
+    h2 = model.geom_size[g2, 1]
+    a0 = gpos[g1] - h1[:, None] * z_all[g1]
+    a1 = gpos[g1] + h1[:, None] * z_all[g1]
+    b0 = gpos[g2] - h2[:, None] * z_all[g2]
+    b1 = gpos[g2] + h2[:, None] * z_all[g2]
+    c1, c2 = _segseg_closest(a0, a1, b0, b1)
+    d = c1 - c2
+    dn = jnp.linalg.norm(d, axis=-1)
+    # Degenerate coincident axes: fall back to +z separation.
+    n_p = jnp.where(
+        (dn > 1e-9)[:, None],
+        d / jnp.maximum(dn, 1e-9)[:, None],
+        jnp.array([0.0, 0.0, 1.0], gpos.dtype),
+    )
+    dist_p = dn - r1 - r2
+    cpos_p = c1 - (r1 + 0.5 * dist_p)[:, None] * n_p
+
+    return (
+        jnp.concatenate([dist, dist_p]),
+        jnp.concatenate([cpos, cpos_p]),
+        jnp.concatenate([n, n_p]),
+    )
 
 
 def _impedance(solimp: jnp.ndarray, pos_err: jnp.ndarray) -> jnp.ndarray:
@@ -144,18 +213,34 @@ def n_pyramid_rows(condim: int) -> int:
     return max(1, 2 * (condim - 1))
 
 
-def _contact_jacobian(model, body, cpos, S, ref, frame_k):
-    """(K, 3, nv) contact-frame translational Jacobian at cpos on bodies."""
+def _contact_jacobian(model, body, cpos, S, ref, frame_k, body2=None):
+    """(K, 3, nv) contact-frame translational Jacobian at cpos on bodies.
+
+    For two-body contacts (fly-fly pair rows), ``body2`` subtracts the
+    second body's point Jacobian: both share the same contact point, so
+    J_rel reduces to weighting each DoF by (affects₁ − affects₂). Ground
+    rows pass body2 = 0 (the world), whose subtree contains no DoF bodies,
+    so the subtraction is a no-op there.
+    """
     rel = cpos - ref
     jpoint = S[None, :, 3:] + jnp.cross(S[None, :, :3], rel[:, None, :])
-    affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
+    affects = _affects(model, body, body2)  # (K, nv)
     return jnp.einsum("kud,kvd->kuv", frame_k, jpoint * affects[:, :, None])
 
 
-def _contact_jacobian_ang(model, body, S, frame_k):
+def _affects(model, body, body2=None):
+    """(K, nv) signed DoF participation: +1 if the DoF moves body, -1 if it
+    moves body2 (two-body contacts), 0 otherwise."""
+    aff = model.body_subtree_mask[model.dof_body][:, body].T
+    if body2 is not None:
+        aff = aff - model.body_subtree_mask[model.dof_body][:, body2].T
+    return aff
+
+
+def _contact_jacobian_ang(model, body, S, frame_k, body2=None):
     """(K, 3, nv) contact-frame rotational Jacobian (for condim > 3 rows:
     torsion about the normal, rolling about the tangents)."""
-    affects = model.body_subtree_mask[model.dof_body][:, body].T  # (K, nv)
+    affects = _affects(model, body, body2)  # (K, nv)
     return jnp.einsum(
         "kud,vd->kuv", frame_k, S[:, :3]
     ) * affects[:, None, :]
@@ -214,17 +299,21 @@ def compute_candidate_invweight(model: PhysicsModel) -> jnp.ndarray:
     I_body = dynamics.body_spatial_inertias(model, xpos, xquat, ref)
     M = dynamics.crba(model, I_body, S)
 
-    body = model.can_body
-    com = xpos[body] + _qr(xquat[body], model.body_ipos[body])  # (ncand, 3)
-    # Translational Jacobian of the CoM point: (ncand, 3, nv).
     eye3 = jnp.eye(3, dtype=qpos.dtype)
-    Jt = _contact_jacobian(
-        model, body, com, S, ref, jnp.broadcast_to(eye3, (model.ncand, 3, 3))
-    ).reshape(-1, model.nv)
-
     chol = jax.scipy.linalg.cho_factor(M)
-    X = jax.scipy.linalg.cho_solve(chol, Jt.T)
-    w = jnp.sum(Jt * X.T, axis=1).reshape(model.ncand, 3).mean(axis=1)
+
+    def body_weight(body):
+        com = xpos[body] + _qr(xquat[body], model.body_ipos[body])
+        Jt = _contact_jacobian(
+            model, body, com, S, ref,
+            jnp.broadcast_to(eye3, (model.ncand, 3, 3)),
+        ).reshape(-1, model.nv)
+        X = jax.scipy.linalg.cho_solve(chol, Jt.T)
+        return jnp.sum(Jt * X.T, axis=1).reshape(model.ncand, 3).mean(axis=1)
+
+    # Two-body contacts sum both bodies' invweights (MuJoCo diagApprox);
+    # body2 = 0 (world) contributes zero on ground rows.
+    w = body_weight(model.can_body) + body_weight(model.can_body2)
 
     mu0 = model.can_friction[:, 0]
     w_row = 2.0 * (1.0 + mu0 * mu0) * w
@@ -316,9 +405,10 @@ def solve_contacts(
 
     frame = _contact_frames(normal)  # (K, 3, 3)
     body = model.can_body[sel]
-    J = _contact_jacobian(model, body, cpos, S, ref, frame)
+    body2 = model.can_body2[sel]
+    J = _contact_jacobian(model, body, cpos, S, ref, frame, body2)
     J_ang = (
-        _contact_jacobian_ang(model, body, S, frame)
+        _contact_jacobian_ang(model, body, S, frame, body2)
         if model.condim > 3
         else None
     )

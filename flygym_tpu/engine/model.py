@@ -78,6 +78,10 @@ class PhysicsModel:
     nsite: int = static_field()
     ngeom: int = static_field()
     ncand: int = static_field()  # candidate contact points (static table)
+    # Capsule-capsule pair candidates (fly-fly contacts): the LAST
+    # ncand_pair rows of the candidate table; the first ncand - ncand_pair
+    # rows are capsule-end vs ground rows (static partition).
+    ncand_pair: int = static_field()
     ncon: int = static_field()  # max simultaneous contacts fed to the solver
     # Contact dimensionality (MuJoCo condim): 1 = frictionless, 3 = sliding,
     # 4 = + torsional, 6 = + rolling. Model-wide (static row count:
@@ -140,9 +144,16 @@ class PhysicsModel:
     geom_size: jnp.ndarray  # (ngeom, 3)
     geom_rgba: jnp.ndarray  # (ngeom, 4)
 
-    # ---- contact candidates (capsule-end vs ground plane rows) ----
+    # ---- contact candidates ----
+    # Ground rows (first ncand - ncand_pair): capsule-end vs ground plane.
+    # Pair rows (last ncand_pair): capsule vs capsule (fly-fly contacts),
+    # one closest-point contact per geom pair; can_end is unused there and
+    # can_geom2/can_body2 identify the second capsule (-1/0 = ground/world
+    # on ground rows).
     can_geom: jnp.ndarray  # (ncand,) i32 capsule geom
     can_body: jnp.ndarray  # (ncand,) i32
+    can_geom2: jnp.ndarray  # (ncand,) i32 second capsule, -1 on ground rows
+    can_body2: jnp.ndarray  # (ncand,) i32 second body, 0 (world) on ground rows
     can_end: jnp.ndarray  # (ncand,) f32 +-1: which capsule end
     can_friction: jnp.ndarray  # (ncand, 3) sliding, torsional, rolling
     can_solref: jnp.ndarray  # (ncand, 2)

@@ -278,8 +278,11 @@ def megastep_supported(model) -> bool:
     planes (height + normal) OUTSIDE the kernel from the previous step's
     cached FK — candidates move ~1e-3 mm/step vs ~0.25 mm terrain cells, so
     the one-step-stale sample is far below contact resolution.
+
+    Capsule-capsule pair rows (fly-fly contacts) stay on the jnp path: the
+    kernel's contact section assumes per-row ground planes.
     """
-    return model.solver_type != "pgs"
+    return model.solver_type != "pgs" and model.ncand_pair == 0
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,66 @@ class TestTwoFlies:
         assert abs(za - zb) < 0.05
 
 
+class TestFlyFlyCollision:
+    """Capsule-capsule contact rows: two flies physically interact
+    (reference multi-fly worlds + explicit contact-pair machinery,
+    ``world.py:95-149``)."""
+
+    def _world(self, with_contacts):
+        world = FlatGroundWorld()
+        world.add_fly(
+            _make_fly("below"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0))
+        )
+        # Second fly dropped directly onto the first.
+        world.add_fly(
+            _make_fly("above"), (0, 0, 3.5), Rotation3D("quat", (1, 0, 0, 0))
+        )
+        if with_contacts:
+            n = world.add_fly_fly_contacts(
+                "below", "above", bodysegs="legs_thorax_abdomen_head"
+            )
+            assert n > 0
+        return world
+
+    def test_pair_rows_compiled(self):
+        model, _ = self._world(True).compile()
+        assert model.ncand_pair > 0
+        assert model.ncand > model.ncand_pair
+        # Pair rows carry a second geom/body; ground rows don't.
+        import numpy as np2
+
+        g2 = np2.asarray(model.can_geom2)
+        ng = model.ncand - model.ncand_pair
+        assert (g2[:ng] == -1).all()
+        assert (g2[ng:] >= 0).all()
+        # Fly-fly pairs disable the ground-only mega-kernel.
+        from flygym_tpu.ops.megastep import megastep_supported
+
+        assert not megastep_supported(model)
+
+    def test_flies_collide_vs_pass_through(self):
+        """With pair rows the upper fly rests ON the lower one; without, it
+        falls straight through to the ground."""
+        heights = {}
+        for with_contacts in (False, True):
+            sim = flygym_tpu.Simulation(self._world(with_contacts))
+            sim.set_leg_adhesion_states("below", np.ones(6))
+            for _ in range(600):
+                sim.step()
+            z_above = float(sim.get_body_positions("above")[0, 2])
+            z_below = float(sim.get_body_positions("below")[0, 2])
+            assert np.isfinite(z_above) and np.isfinite(z_below)
+            heights[with_contacts] = (z_above, z_below)
+        # Without contacts the two flies interpenetrate at ~equal height;
+        # with contacts the upper fly is held clearly above the lower.
+        dz_without = heights[False][0] - heights[False][1]
+        dz_with = heights[True][0] - heights[True][1]
+        assert dz_with > dz_without + 0.5, (
+            f"fly-fly contact not holding: dz_with={dz_with:.3f} "
+            f"dz_without={dz_without:.3f}"
+        )
+
+
 class TestConfigApplier:
     def test_yaml_options(self, tmp_path):
         from flygym_tpu.compose.spec import ModelSpec
