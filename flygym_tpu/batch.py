@@ -60,13 +60,15 @@ class BatchSimulation(Simulation):
                     f"n_worlds={n_worlds} not divisible by mesh axis "
                     f"'{world_axis}' of size {mesh.shape[world_axis]}"
                 )
+            from flygym_tpu.parallel import replicate_model
+
             self._state_sharding = jax.tree.map(
                 lambda _: NamedSharding(mesh, P(world_axis)), self._initial_state
             )
             self._model_sharding = jax.tree.map(
                 lambda _: NamedSharding(mesh, P()), self.model
             )
-            self.model = jax.device_put(self.model, self._model_sharding)
+            self.model = replicate_model(self.model, mesh)
         else:
             self._state_sharding = None
 

@@ -183,6 +183,9 @@ class ModelSpec:
             "solver": "newton",
             "solver_iterations": 2,
             "solver_relaxation": 1.0,
+            # Strict-parity solver: exact per-iteration Hessian refactor
+            # (see PhysicsModel.solver_exact). Off for speed by default.
+            "solver_exact": False,
             "ncon_max": None,  # None -> 16 per attached fly
         }
         # Neutral keyframe ingredients, keyed by full identifiers.
@@ -782,6 +785,7 @@ class ModelSpec:
             timestep=float(self.options["timestep"]),
             solver_type=str(self.options["solver"]),
             solver_iterations=int(self.options["solver_iterations"]),
+            solver_exact=bool(self.options.get("solver_exact", False)),
             solver_relaxation=float(self.options["solver_relaxation"]),
             levels=levels,
             ancestor_jumps=ancestor_jumps,

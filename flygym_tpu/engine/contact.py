@@ -533,22 +533,32 @@ def _solve_primal_newton(
         act = (jar < 0.0).astype(dtype) * (D > 0.0)
         return jar, act
 
-    jar_w, act_w = jar_active(qacc_warm)
-    w = D * act_w
-    H = Mh + (Jp.T * w[None, :]) @ Jp
-    H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
-    # The contact Hessian keeps the kinematic tree's sparsity (each contact
-    # row touches one root-path), so the tree LDL applies — one factorization
-    # per step; under vmap this dispatches to the Pallas kernel
-    # (ops/ldl_pallas.py) that unrolls the whole elimination in VMEM.
-    L_fac, d_fac = factor_op(H)
+    def factor_at(act):
+        w_ = D * act
+        H = Mh + (Jp.T * w_[None, :]) @ Jp
+        H = H + 1e-9 * jnp.eye(nv, dtype=dtype)
+        # The contact Hessian keeps the kinematic tree's sparsity (each
+        # contact row touches one root-path), so the tree LDL applies; under
+        # vmap this dispatches to the Pallas kernel (ops/ldl_pallas.py) that
+        # unrolls the whole elimination in VMEM.
+        return factor_op(H)
+
+    _, act_w = jar_active(qacc_warm)
+    # Default: ONE factorization per step at the warm-start active set
+    # (frozen-Hessian semismooth Newton). Strict-parity mode
+    # (model.solver_exact) re-factors from the CURRENT active set each
+    # iteration — MuJoCo's exact Newton — for parity studies of violent
+    # transients where the active set changes within the step.
+    L_fac, d_fac = factor_at(act_w)
 
     # Unrolled Newton refinements (solver_iterations is static and small;
     # unrolling also keeps the custom_vmap solve op out of a lax.scan body,
     # where closed-over batched tracers are not supported).
     a = qacc_warm
-    for _ in range(max(model.solver_iterations, 1)):
+    for it in range(max(model.solver_iterations, 1)):
         jar, act = jar_active(a)
+        if model.solver_exact and it > 0:
+            L_fac, d_fac = factor_at(act)
         wk = D * act
         grad = Mh @ a - qfrc + Jp.T @ (wk * jar)
         delta = -solve_op(L_fac, d_fac, grad)

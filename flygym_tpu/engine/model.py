@@ -91,6 +91,12 @@ class PhysicsModel:
     timestep: float = static_field()
     solver_type: str = static_field()  # "active_set" (TPU default) | "pgs"
     solver_iterations: int = static_field()
+    # Strict-parity mode: re-factor the contact Hessian from the CURRENT
+    # active set every Newton iteration (true semismooth Newton, like
+    # MuJoCo's solver) instead of freezing the warm-start factor. Slower
+    # (one LDL per iteration) but tracks MuJoCo through violent transients;
+    # pair with solver_iterations ~10 for parity studies.
+    solver_exact: bool = static_field()
     solver_relaxation: float = static_field()
     levels: tuple = static_field()  # tuple[tuple[int, ...]] body ids per tree depth
     # Pointer-doubling ancestor tables: jumps[k][b] = ancestor of b at distance

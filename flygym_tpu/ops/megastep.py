@@ -279,10 +279,15 @@ def megastep_supported(model) -> bool:
     cached FK — candidates move ~1e-3 mm/step vs ~0.25 mm terrain cells, so
     the one-step-stale sample is far below contact resolution.
 
-    Capsule-capsule pair rows (fly-fly contacts) stay on the jnp path: the
-    kernel's contact section assumes per-row ground planes.
+    Capsule-capsule pair rows (fly-fly contacts) and the strict-parity
+    exact-Newton mode stay on the jnp path: the kernel's contact section
+    assumes per-row ground planes and the frozen-Hessian solver.
     """
-    return model.solver_type != "pgs" and model.ncand_pair == 0
+    return (
+        model.solver_type != "pgs"
+        and model.ncand_pair == 0
+        and not model.solver_exact
+    )
 
 
 # ---------------------------------------------------------------------------

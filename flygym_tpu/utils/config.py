@@ -29,6 +29,7 @@ _KNOWN = {
     "gravity": tuple,
     "solver": str,
     "solver_iterations": int,
+    "solver_exact": bool,
     "solver_relaxation": float,
     "ncon_max": int,
 }
