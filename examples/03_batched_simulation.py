@@ -43,7 +43,7 @@ def main(n_worlds: int = 512, n_steps: int = 1000):
     ctrl_seq = np.full((n_steps, n_worlds, sim.model.nu), np.nan, np.float32)
     ctrl_seq[:, :, act_ids] = np.swapaxes(targets, 0, 1)
 
-    sim.rollout(ctrl_seq, 8)  # compile outside the timed region
+    sim.rollout(ctrl_seq, n_steps)  # compile outside the timed region
     start = time.perf_counter()
     sim.rollout(ctrl_seq, n_steps)
     np.asarray(sim.state.qpos[0, 0])  # host fetch = device sync
@@ -55,6 +55,24 @@ def main(n_worlds: int = 512, n_steps: int = 1000):
         f"-> {steps_per_s:,.0f} world-steps/s "
         f"({steps_per_s * sim.timestep:.1f}x realtime aggregate)"
     )
+
+    # 16-world montage, rendered in ONE vmapped device call (the analog of
+    # the reference's GPU batch renderer + grid montage,
+    # ``warp/rendering.py:141-262``). The colorized fly materials
+    # (visuals.json via Fly.colorize) show in the frames.
+    renderer = sim.set_renderer(
+        "trackcam", camera_res=(120, 160), world_ids=list(range(16))
+    )
+    renderer.render(sim.state)
+    out = Path("outputs/03_batch_montage.png")
+    out.parent.mkdir(exist_ok=True)
+    from PIL import Image
+
+    from flygym_tpu.utils.video import montage_grid
+
+    frames = renderer.get_frames()[-1]  # (16, H, W, 3)
+    Image.fromarray(montage_grid(frames, renderer.world_ids)).save(out)
+    print(f"16-world montage -> {out}")
 
 
 if __name__ == "__main__":

@@ -213,10 +213,16 @@ class BatchSimulation(Simulation):
             ctrl_sequence = jnp.full(
                 (n_steps, self.n_worlds, self.model.nu), jnp.nan, jnp.float32
             )
+        ctrl_sequence = jnp.asarray(ctrl_sequence)
+        if ctrl_sequence.shape[0] < n_steps:
+            raise ValueError(
+                f"ctrl_sequence has {ctrl_sequence.shape[0]} steps, "
+                f"need at least n_steps={n_steps}"
+            )
         self.state, traj = rollout_batched(
             self.model,
             self.state,
-            jnp.asarray(ctrl_sequence),
+            ctrl_sequence[:n_steps],
             n_steps,
             batched_step=self._megastep,
         )

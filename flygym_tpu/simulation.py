@@ -184,8 +184,14 @@ class Simulation:
             ctrl_sequence = jnp.full(
                 (n_steps, self.model.nu), jnp.nan, jnp.float32
             )
+        ctrl_sequence = jnp.asarray(ctrl_sequence)
+        if ctrl_sequence.shape[0] < n_steps:
+            raise ValueError(
+                f"ctrl_sequence has {ctrl_sequence.shape[0]} steps, "
+                f"need at least n_steps={n_steps}"
+            )
         self.state, traj = engine_rollout(
-            self.model, self.state, jnp.asarray(ctrl_sequence), n_steps
+            self.model, self.state, ctrl_sequence[:n_steps], n_steps
         )
         self._curr_step += n_steps
         return traj
