@@ -36,11 +36,11 @@ def main():
     dof_order = ref_fly.get_actuated_jointdofs_order(ActuatorType.POSITION)
     replay = ReplayTargetData(TIMESTEP, dof_order)
 
-    # Best measured point with the Pallas mega-step kernel (1.46M w/s at
-    # 4096 worlds, 1.38M at 1024 — see ROADMAP.md). Each extra world count
-    # costs a few minutes of compile over the axon tunnel, so sweeps are
-    # opt-in (pass world counts as argv).
-    world_counts = [int(x) for x in sys.argv[1:]] or [4096]
+    # Best measured point with the sublane-packed Pallas mega-step kernel
+    # (9.48M w/s at 8192 worlds, 5.9M at 4096 — see ROADMAP.md). Each extra
+    # world count costs a few minutes of compile over the axon tunnel, so
+    # sweeps are opt-in (pass world counts as argv).
+    world_counts = [int(x) for x in sys.argv[1:]] or [8192]
     best = 0.0
     for n_worlds in world_counts:
         targets = replay.make_target_angles_all_worlds(n_worlds, SIM_STEPS)
