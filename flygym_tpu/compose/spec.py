@@ -916,20 +916,47 @@ class ModelSpec:
         """
         compiled = self.compile()
         m = compiled.model
+        import jax
         import numpy as onp
 
-        body_parent = onp.asarray(m.body_parent)
-        body_pos = onp.asarray(m.body_pos)
-        body_quat = onp.asarray(m.body_quat)
-        body_mass = onp.asarray(m.body_mass)
-        body_ipos = onp.asarray(m.body_ipos)
-        body_iquat = onp.asarray(m.body_iquat)
-        body_inertia = onp.asarray(m.body_inertia)
-        geom_body = onp.asarray(m.geom_body)
-        geom_pos = onp.asarray(m.geom_pos)
-        geom_quat = onp.asarray(m.geom_quat)
-        geom_size = onp.asarray(m.geom_size)
-        geom_rgba = onp.asarray(m.geom_rgba)
+        # ONE batched host transfer for everything the writer reads —
+        # per-array fetches cost seconds each over a remote-TPU tunnel
+        # (and a per-joint fetch in the loop below once took minutes).
+        fetched = jax.device_get(
+            {
+                "body_parent": m.body_parent,
+                "body_pos": m.body_pos,
+                "body_quat": m.body_quat,
+                "body_mass": m.body_mass,
+                "body_ipos": m.body_ipos,
+                "body_iquat": m.body_iquat,
+                "body_inertia": m.body_inertia,
+                "geom_body": m.geom_body,
+                "geom_pos": m.geom_pos,
+                "geom_quat": m.geom_quat,
+                "geom_size": m.geom_size,
+                "geom_rgba": m.geom_rgba,
+                "hinge_body": m.hinge_body,
+                "hinge_axis": m.hinge_axis,
+                "site_body": m.site_body,
+                "site_pos": m.site_pos,
+                "qpos0": m.qpos0,
+                "ctrl0": m.ctrl0,
+            }
+        )
+        body_parent = fetched["body_parent"]
+        body_pos = fetched["body_pos"]
+        body_quat = fetched["body_quat"]
+        body_mass = fetched["body_mass"]
+        body_ipos = fetched["body_ipos"]
+        body_iquat = fetched["body_iquat"]
+        body_inertia = fetched["body_inertia"]
+        geom_body = fetched["geom_body"]
+        geom_pos = fetched["geom_pos"]
+        geom_quat = fetched["geom_quat"]
+        geom_size = fetched["geom_size"]
+        geom_rgba = fetched["geom_rgba"]
+        hinge_axis_arr = fetched["hinge_axis"]
 
         id2name = {v: k for k, v in compiled.body_name2id.items()}
         id2geom = {v: k for k, v in compiled.geom_name2id.items()}
@@ -960,7 +987,7 @@ class ModelSpec:
                     joint_specs[j.full_identifier] = j
         hingeidx2name = {v: k for k, v in compiled.hinge_name2id.items()}
         body_hinges = {}
-        hinge_body = onp.asarray(m.hinge_body)
+        hinge_body = fetched["hinge_body"]
         for k in range(m.nhinge):
             body_hinges.setdefault(int(hinge_body[k]), []).append(k)
 
@@ -968,8 +995,8 @@ class ModelSpec:
         for gi in range(m.ngeom):
             geoms_by_body.setdefault(int(geom_body[gi]), []).append(gi)
 
-        site_body = onp.asarray(m.site_body)
-        site_pos_arr = onp.asarray(m.site_pos)
+        site_body = fetched["site_body"]
+        site_pos_arr = fetched["site_pos"]
         sites_by_body = {}
         siteidx2name = {v: k for k, v in compiled.site_name2id.items()}
         for si in range(m.nsite):
@@ -1012,7 +1039,7 @@ class ModelSpec:
             for k in body_hinges.get(bid, []):
                 jname = hingeidx2name[k]
                 spec = joint_specs[jname]
-                axis = " ".join(f"{x:.8g}" for x in onp.asarray(m.hinge_axis)[k])
+                axis = " ".join(f"{x:.8g}" for x in hinge_axis_arr[k])
                 w(
                     f'{inner}<joint name="{jname}" type="hinge" axis="{axis}" '
                     f'stiffness="{spec.stiffness}" damping="{spec.damping}" '
@@ -1112,8 +1139,8 @@ class ModelSpec:
             w("  </actuator>\n")
 
         # Neutral keyframe.
-        compiled_qpos0 = onp.asarray(m.qpos0)
-        compiled_ctrl0 = onp.asarray(m.ctrl0)
+        compiled_qpos0 = fetched["qpos0"]
+        compiled_ctrl0 = fetched["ctrl0"]
         qpos_str = " ".join(f"{x:.8g}" for x in compiled_qpos0)
         ctrl_str = " ".join(f"{x:.8g}" for x in compiled_ctrl0)
         w("  <keyframe>\n")

@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_retina_kernel", "retina_pallas_available"]
+__all__ = [
+    "make_retina_kernel",
+    "retina_pallas_available",
+    "retina_kernel_supported",
+]
 
 LANE = 128
 _BIG = 1e30
@@ -30,16 +34,25 @@ def retina_pallas_available() -> bool:
         return False
 
 
+def retina_kernel_supported(model) -> bool:
+    """The kernel assumes a flat ground plane at ``model.ground_pos``;
+    heightfield worlds stay on the jnp raycast path (which renders the
+    terrain)."""
+    return not model.has_hfield
+
+
 def _pad_rows(n, m=8):
     return ((n + m - 1) // m) * m
 
 
-def make_retina_kernel(model, retina):
+def make_retina_kernel(model, retina, *, interpret: bool = False):
     """Build a batched retina render: state-batch → (B, 2, n_omm, 2).
 
     Args:
         model: PhysicsModel (static geom table used for radii/colors/types).
         retina: the Retina instance (ray directions + channel weights).
+        interpret: Run via the Pallas interpreter (any backend — used by CI
+            to cover the kernel without TPU hardware).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -298,6 +311,7 @@ def make_retina_kernel(model, retina):
             out_specs=pl.BlockSpec(
                 (2 * 2 * R8, LANE), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            interpret=interpret,
         )(packed, const)
         out = out[:, :B]  # (2*2*R8, B)
         out = out.reshape(2, 2, R8, B)[:, :, :n_omm]  # (eye, ch, n, B)

@@ -330,16 +330,25 @@ def launch_interactive_viewer(
             the only keyframe the composer maintains — or None for the
             model's default state).
     """
+    import os
+    import sys
+
+    headless_msg = (
+        "Interactive viewing needs the `mujoco` package (pip install "
+        "mujoco) and a display. On headless hosts, use "
+        "preview_model(world) for offline frames or "
+        "world.save_xml_with_assets(path) and open the MJCF elsewhere."
+    )
+    if sys.platform.startswith("linux") and not (
+        os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+    ):
+        # GLFW hangs/aborts rather than failing cleanly without a display.
+        raise RuntimeError(headless_msg)
     try:
         import mujoco
         import mujoco.viewer
     except ImportError as e:  # pragma: no cover - env-dependent
-        raise RuntimeError(
-            "Interactive viewing needs the `mujoco` package (pip install "
-            "mujoco) and a display. On headless hosts, use "
-            "preview_model(world) for offline frames or "
-            "world.save_xml_with_assets(path) and open the MJCF elsewhere."
-        ) from e
+        raise RuntimeError(headless_msg) from e
 
     mj_model = mujoco.MjModel.from_xml_string(world.spec.to_mjcf_xml())
     mj_data = mujoco.MjData(mj_model)

@@ -16,6 +16,7 @@ intensities in [0, 1], shape (2 eyes, 721, 2 channels).
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,6 +138,28 @@ class Retina:
             right_eye_body=ids[f"{fly_name}/r_eye"],
             **kwargs,
         )
+
+    def make_render_batched(self, model: PhysicsModel, *, interpret: bool = False):
+        """Batched render function: (B,)-batched State → (B, 2, n_omm, 2).
+
+        On the TPU backend (or with ``interpret=True`` anywhere) this is the
+        Pallas retina kernel (``ops/retina_pallas.py``) — worlds in lanes,
+        whole nearest-hit + shading computation in VMEM; the vmapped jnp
+        raycast otherwise (and for heightfield worlds, which the kernel's
+        flat-ground shading does not cover). Both produce identical
+        semantics; the jnp path is the correctness oracle
+        (``tests/engine/test_retina_kernel.py``).
+        """
+        use_kernel = interpret or jax.default_backend() == "tpu"
+        if use_kernel:
+            from flygym_tpu.ops.retina_pallas import (
+                make_retina_kernel,
+                retina_kernel_supported,
+            )
+
+            if retina_kernel_supported(model):
+                return make_retina_kernel(model, self, interpret=interpret)
+        return jax.jit(jax.vmap(lambda s: self.render(model, s)))
 
     def render(self, model: PhysicsModel, state: State) -> jnp.ndarray:
         """Render both eyes: (2, n_ommatidia, 2) intensities in [0, 1].

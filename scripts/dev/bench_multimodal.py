@@ -72,6 +72,8 @@ def main():
 
     act_ids = jnp.asarray(sim._act_ids_by_type[ActuatorType.POSITION]["f"])
     adh_ids = jnp.asarray(sim._adh_ids["f"])
+    # Pallas retina kernel on TPU (worlds in lanes), vmapped jnp elsewhere.
+    render_batched = retina.make_render_batched(model)
     mega = sim._megastep
     print(
         f"backend={jax.default_backend()} megastep={'on' if mega else 'off'}",
@@ -105,7 +107,7 @@ def main():
             (st, cs), odors = jax.lax.scan(
                 inner, (st, cs), None, length=vision_every
             )
-            vis = jax.vmap(lambda ss: retina.render(model, ss))(st)
+            vis = render_batched(st)
             # Consume the WHOLE render (per-world mean intensity) so XLA
             # cannot dead-code-eliminate the retina work — the honest cost
             # of full 721-ommatidia vision at 500 Hz.
@@ -114,7 +116,7 @@ def main():
         (st, cs), (vis_tr, odors) = jax.lax.scan(
             outer, (state, cpg_state), None, length=n_outer
         )
-        vis = jax.vmap(lambda ss: retina.render(model, ss))(st)
+        vis = render_batched(st)
         return st, cs, vis, odors
 
     cpg_state = cpg.init_state(0)

@@ -62,6 +62,7 @@ def main():
     sim.set_leg_adhesion_states("f", np.ones((n_worlds, 6), np.float32))
 
     retina = Retina.for_fly(world, "f")
+    render_batched = retina.make_render_batched(model)
     steps_data = extract_preprogrammed_steps(
         MotionSnippet(), fly.get_actuated_jointdofs_order(ActuatorType.POSITION)
     )
@@ -97,7 +98,7 @@ def main():
             (st, cs, drive), _ = jax.lax.scan(
                 inner, (st, cs, drive), None, length=vision_every
             )
-            vision = jax.vmap(lambda ss: retina.render(model, ss))(st)
+            vision = render_batched(st)
             # Batched steering drive from the retina (world-0's drive used
             # for the scalar CPG here; a per-world CPG state would vmap).
             drive = object_azimuth_drive(vision[0], 8.0)

@@ -173,6 +173,9 @@ class TestPreview:
             called["model"], called["data"] = m, d
 
         monkeypatch.setattr(mujoco.viewer, "launch", fake_launch)
+        # Simulate a workstation: the headless guard (no DISPLAY → helpful
+        # RuntimeError instead of a GLFW hang) must not fire here.
+        monkeypatch.setenv("DISPLAY", ":0")
         from flygym_tpu.render import launch_interactive_viewer
 
         launch_interactive_viewer(world)
@@ -186,6 +189,20 @@ class TestPreview:
         np.testing.assert_allclose(
             called["data"].qpos, called["model"].key_qpos[key_id]
         )
+
+    def test_interactive_viewer_headless_raises(self, world, monkeypatch):
+        """Without a display the viewer must raise the guidance error, not
+        hang inside GLFW."""
+        import sys
+
+        if not sys.platform.startswith("linux"):
+            pytest.skip("headless guard is Linux-specific")
+        monkeypatch.delenv("DISPLAY", raising=False)
+        monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+        from flygym_tpu.render import launch_interactive_viewer
+
+        with pytest.raises(RuntimeError, match="display"):
+            launch_interactive_viewer(world)
 
 
 class TestHeightfieldRaycast:
