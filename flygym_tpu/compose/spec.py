@@ -186,6 +186,8 @@ class ModelSpec:
             # Strict-parity solver: exact per-iteration Hessian refactor
             # (see PhysicsModel.solver_exact). Off for speed by default.
             "solver_exact": False,
+            # Pure-jnp solver ops so jax.grad flows through the step.
+            "differentiable": False,
             "ncon_max": None,  # None -> 16 per attached fly
         }
         # Neutral keyframe ingredients, keyed by full identifiers.
@@ -786,6 +788,7 @@ class ModelSpec:
             solver_type=str(self.options["solver"]),
             solver_iterations=int(self.options["solver_iterations"]),
             solver_exact=bool(self.options.get("solver_exact", False)),
+            differentiable=bool(self.options.get("differentiable", False)),
             solver_relaxation=float(self.options["solver_relaxation"]),
             levels=levels,
             ancestor_jumps=ancestor_jumps,

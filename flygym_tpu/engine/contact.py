@@ -383,9 +383,18 @@ def solve_contacts(
         qacc: (nv,) constrained acceleration.
         info: ContactInfo for sensors, or None when the model has no contacts.
     """
-    from flygym_tpu.ops.ldl_pallas import make_tree_ldl_ops
+    if model.differentiable:
+        # Pure-jnp tree-LDL: same algorithm, but visible to autodiff —
+        # the custom_vmap/Pallas ops below have no JVP/VJP rules, so
+        # jax.grad through the step requires this route.
+        from flygym_tpu.engine.linalg import tree_ldl_factor, tree_ldl_solve
 
-    factor_op, solve_op = make_tree_ldl_ops(model)
+        factor_op = lambda H: tree_ldl_factor(model, H)
+        solve_op = lambda L, d, b: tree_ldl_solve(model, (L, d), b)
+    else:
+        from flygym_tpu.ops.ldl_pallas import make_tree_ldl_ops
+
+        factor_op, solve_op = make_tree_ldl_ops(model)
 
     dtype = qfrc_smooth.dtype
     if model.ncand == 0:

@@ -98,6 +98,12 @@ class PhysicsModel:
     # pair with solver_iterations ~10 for parity studies.
     solver_exact: bool = static_field()
     solver_relaxation: float = static_field()
+    # Differentiable mode: route the contact solve through the pure-jnp
+    # tree-LDL (skipping the custom_vmap/Pallas linear-algebra ops, which
+    # have no autodiff rules) so jax.grad flows through the whole step —
+    # controls, initial state, and model parameters. Slightly slower under
+    # vmap on TPU; identical numerics.
+    differentiable: bool = static_field()
     levels: tuple = static_field()  # tuple[tuple[int, ...]] body ids per tree depth
     # Pointer-doubling ancestor tables: jumps[k][b] = ancestor of b at distance
     # 2^k (clamped to the world body). FK composes transforms along these in

@@ -30,6 +30,7 @@ _KNOWN = {
     "solver": str,
     "solver_iterations": int,
     "solver_exact": bool,
+    "differentiable": bool,
     "solver_relaxation": float,
     "ncon_max": int,
 }
