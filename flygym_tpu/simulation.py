@@ -57,6 +57,22 @@ class Simulation:
         self._compiled = world.compiled
         self._jit_step = jax.jit(engine_step)
 
+        # On the TPU backend, rollout() routes even a single world through
+        # the Pallas mega-step kernel (the kernel pads to its 1024-lane
+        # block, so one fly costs the same as 1024): ~10x the in-scan rate
+        # of the serial small-kernel path. Opt out with FLYGYM_TPU_MEGASTEP=0.
+        import os
+
+        self._megastep = None
+        if os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0":
+            try:
+                from flygym_tpu.ops.megastep import make_megastep, megastep_supported
+
+                if jax.default_backend() == "tpu" and megastep_supported(self.model):
+                    self._megastep = make_megastep(self.model)
+            except Exception:
+                self._megastep = None
+
         self._map_internal_ids()
 
         # Performance profiling counters (reference simulation.py:53-57).
@@ -190,6 +206,22 @@ class Simulation:
                 f"ctrl_sequence has {ctrl_sequence.shape[0]} steps, "
                 f"need at least n_steps={n_steps}"
             )
+        if self._megastep is not None and type(self) is Simulation:
+            # Ride the mega-step kernel with a single-world batch (padded
+            # to the kernel block internally) — ~10x the serial path.
+            from flygym_tpu.engine.step import rollout_batched
+
+            bstate = jax.tree.map(lambda x: x[None], self.state)
+            final, traj = rollout_batched(
+                self.model,
+                bstate,
+                ctrl_sequence[:n_steps, None, :],
+                n_steps,
+                batched_step=self._megastep,
+            )
+            self.state = jax.tree.map(lambda x: x[0], final)
+            self._curr_step += n_steps
+            return traj[:, 0]
         self.state, traj = engine_rollout(
             self.model, self.state, ctrl_sequence[:n_steps], n_steps
         )
