@@ -193,6 +193,10 @@ class VectorFlyEnv:
         )
 
         obs = self.observe(state)
+        reward, done = self._reward_done(state)
+        return state, obs, reward, done, {}
+
+    def _reward_done(self, state: State):
         root_quat = state.xquat[self._root_body]
         heading = quat_rotate(root_quat, jnp.array([1.0, 0.0, 0.0]))
         root_vel = state.qvel[0:3] if self.model.free_joints else jnp.zeros(3)
@@ -200,10 +204,66 @@ class VectorFlyEnv:
         up = quat_rotate(root_quat, jnp.array([0.0, 0.0, 1.0]))
         flipped = up[2] < 0.0
         fallen = state.xpos[self._root_body, 2] < 0.2
-        done = flipped | fallen
-        return state, obs, reward, done, {}
+        return reward, flipped | fallen
 
-    def observe(self, state: State) -> dict:
+    def make_batched_step(self, *, interpret: bool = False):
+        """TPU-native batched env step: (B,) states + batched action dict →
+        ``(states, obs, reward, done, info)`` with every leaf batched.
+
+        Semantically identical to ``jax.vmap(self.step)``, but the physics
+        substeps run through the Pallas mega-step kernel and vision through
+        the Pallas retina kernel on the TPU backend (vmapped jnp elsewhere)
+        — the full-rate RL training path for thousands of environments.
+        The returned function is jitted and usable inside ``lax.scan``.
+        """
+        import os
+
+        batched_physics = None
+        use_kernel = interpret or jax.default_backend() == "tpu"
+        if use_kernel and os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0":
+            try:
+                from flygym_tpu.ops.megastep import make_megastep, megastep_supported
+
+                if megastep_supported(self.model):
+                    batched_physics = make_megastep(
+                        self.model, interpret=interpret, jit=False
+                    )
+            except Exception:
+                batched_physics = None
+        if batched_physics is None:
+            vstep = jax.vmap(engine_step, in_axes=(None, 0))
+            batched_physics = lambda s: vstep(self.model, s)
+
+        render = (
+            self.retina.make_render_batched(self.model, interpret=interpret)
+            if self.retina is not None
+            else None
+        )
+        observe_rest = jax.vmap(lambda s: self.observe(s, include_vision=False))
+        reward_done = jax.vmap(self._reward_done)
+
+        @jax.jit
+        def step_batched(states: State, action: dict):
+            ctrl = states.ctrl.at[:, self._act_ids].set(action["joints"])
+            adhesion = 1.0 + 99.0 * jnp.clip(action["adhesion"], 0.0, 1.0)
+            ctrl = ctrl.at[:, self._adh_ids].set(adhesion)
+            states = dataclasses.replace(states, ctrl=ctrl)
+
+            def body(carry, _):
+                return batched_physics(carry), None
+
+            states, _ = jax.lax.scan(
+                body, states, None, length=self.decision_interval
+            )
+            obs = observe_rest(states)
+            if render is not None:
+                obs["vision"] = render(states)
+            reward, done = reward_done(states)
+            return states, obs, reward, done, {}
+
+        return step_batched
+
+    def observe(self, state: State, include_vision: bool = True) -> dict:
         """Build the observation dict (flygym-1.x layout)."""
         joints = jnp.stack(
             [
@@ -235,7 +295,7 @@ class VectorFlyEnv:
             "end_effectors": state.xpos[self._tip_bodies],
             "fly_orientation": heading,
         }
-        if self.retina is not None:
+        if self.retina is not None and include_vision:
             obs["vision"] = self.retina.render(self.model, state)
         if self.odor_field is not None:
             obs["odor_intensity"] = self.odor_field.sample(self.model, state)

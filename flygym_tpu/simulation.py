@@ -177,10 +177,14 @@ class Simulation:
 
     def warmup(self, duration_s: float = 0.05) -> None:
         """Step briefly so initialization transients settle
-        (reference ``simulation.py:298-309``)."""
+        (reference ``simulation.py:298-309``). Runs as one scanned program
+        (no per-step dispatch) while holding the current control."""
         n_steps = int(duration_s / self.model.timestep)
-        for _ in range(n_steps):
-            self.step()
+        if n_steps > 0:
+            self.rollout(None, n_steps)
+            # Warmup is excluded from perf-report step counts, like the
+            # reference's (which steps without profiling).
+            self._curr_step -= n_steps
 
     def rollout(self, ctrl_sequence: np.ndarray | None, n_steps: int):
         """Run ``n_steps`` entirely on device under ``lax.scan``.

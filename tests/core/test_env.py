@@ -55,6 +55,46 @@ class TestVectorFlyEnv:
         q = np.asarray(states.qpos)
         assert not np.allclose(q[0], q[1])
 
+    def test_batched_step_matches_vmap(self, venv):
+        """make_batched_step (the TPU RL path: mega-step physics + batched
+        retina) must be semantically identical to vmap(step). On the CPU
+        backend both run the vmapped jnp code, so agreement is exact."""
+        n = 3
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
+        states = jax.vmap(venv.reset)(keys)
+        actions = {
+            "joints": jnp.zeros((n, venv.n_actuated)),
+            "adhesion": jnp.ones((n, 6)),
+        }
+        s_v, obs_v, r_v, d_v, _ = jax.jit(jax.vmap(venv.step))(states, actions)
+        step_b = venv.make_batched_step()
+        s_b, obs_b, r_b, d_b, _ = step_b(states, actions)
+        np.testing.assert_allclose(
+            np.asarray(s_b.qpos), np.asarray(s_v.qpos), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_b), np.asarray(r_v), atol=1e-6
+        )
+        assert set(obs_b) == set(obs_v)
+        for k in obs_v:
+            np.testing.assert_allclose(
+                np.asarray(obs_b[k]), np.asarray(obs_v[k]), atol=1e-5, err_msg=k
+            )
+
+    def test_batched_step_vision(self):
+        """Batched step with vision produces (B, 2, 721, 2) observations."""
+        env = VectorFlyEnv(enable_vision=True, decision_interval=2)
+        keys = jax.random.split(jax.random.PRNGKey(2), 2)
+        states = jax.vmap(env.reset)(keys)
+        actions = {
+            "joints": jnp.zeros((2, env.n_actuated)),
+            "adhesion": jnp.ones((2, 6)),
+        }
+        step_b = env.make_batched_step()
+        _, obs, *_ = step_b(states, actions)
+        assert obs["vision"].shape == (2, 2, 721, 2)
+        assert np.isfinite(np.asarray(obs["vision"])).all()
+
 
 class TestVisionEnv:
     def test_vision_observation(self):
