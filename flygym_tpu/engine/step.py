@@ -177,10 +177,36 @@ def rollout_batched(
             ops/megastep.py).
     """
     import dataclasses
+    import os
 
     if batched_step is None:
         vstep = jax.vmap(step, in_axes=(None, 0))
         batched_step = lambda s: vstep(model, s)
+
+    # Heightfield terrain: the mega-step kernel exposes sample_planes so the
+    # (expensive) out-of-kernel ground-plane sampling can run once per K
+    # steps instead of every step — candidates move ~1e-3 mm/step vs
+    # ~0.25 mm terrain cells, so a K-step-stale sample stays far below
+    # contact resolution (same argument as the kernel's 1-step-stale FK).
+    sample_planes = getattr(batched_step, "sample_planes", None)
+    resample = int(os.environ.get("FLYGYM_TPU_TERRAIN_RESAMPLE", "8"))
+    if sample_planes is not None and resample > 1 and n_steps % resample == 0:
+        n_outer = n_steps // resample
+
+        def inner(carry, ctrl_t):
+            st, planes = carry
+            ctrl = jnp.where(jnp.isnan(ctrl_t), st.ctrl, ctrl_t)
+            new = batched_step(dataclasses.replace(st, ctrl=ctrl), planes)
+            return (new, planes), new.qpos
+
+        def outer(st, ctrl_chunk):
+            planes = sample_planes(st)
+            (st, _), traj = jax.lax.scan(inner, (st, planes), ctrl_chunk)
+            return st, traj
+
+        chunks = ctrl_seq.reshape((n_outer, resample) + ctrl_seq.shape[1:])
+        final, traj = jax.lax.scan(outer, state, chunks)
+        return final, traj.reshape((n_steps,) + traj.shape[2:])
 
     def body(carry, ctrl_t):
         ctrl = jnp.where(jnp.isnan(ctrl_t), carry.ctrl, ctrl_t)

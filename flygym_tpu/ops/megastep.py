@@ -1206,7 +1206,73 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
         for s_ in range(ns):
             wr(r["sensordata"][s_])
 
-    def megastep(state):
+    # Per-candidate local ground planes (h, n) sampled at the previous
+    # step's candidate positions (state.xpos is the cached pre-integration
+    # FK) — see megastep_supported docstring. The bilinear table lookup
+    # uses one-hot MATMULS instead of XLA gathers: TPU generic gathers on
+    # (B·ncand) indices cost ~ms per step; two (N, nrow) @ (nrow, ncol)
+    # one-hot products ride the MXU. Exposed separately (sample_planes) so
+    # rollouts can amortize it over several steps: candidates move ~1e-3
+    # mm/step vs ~0.25 mm terrain cells, so a K-step-stale sample is far
+    # below contact resolution.
+    if n_terrain:
+        from flygym_tpu.engine.maths import quat_mul, quat_rotate
+
+        def planes(xpos, xquat):
+            dtype = jnp.float32
+            gb = model.geom_body[model.can_geom]
+            gpos = xpos[:, gb] + quat_rotate(
+                xquat[:, gb], model.geom_pos[model.can_geom]
+            )
+            gquat = quat_mul(xquat[:, gb], model.geom_quat[model.can_geom])
+            zax = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], dtype))
+            halflen = model.geom_size[model.can_geom, 1]
+            ep = gpos + (model.can_end * halflen)[None, :, None] * zax
+            xy = ep[..., :2].reshape(-1, 2)  # (B*ncand, 2)
+
+            data = model.hfield_data
+            nr, nc = data.shape
+            fx = (xy[:, 0] - model.hfield_xy0[0]) / model.hfield_cell[0]
+            fy = (xy[:, 1] - model.hfield_xy0[1]) / model.hfield_cell[1]
+            fx = jnp.clip(fx, 0.0, nc - 1.001)
+            fy = jnp.clip(fy, 0.0, nr - 1.001)
+            ix = jnp.floor(fx)
+            iy = jnp.floor(fy)
+            tx = fx - ix
+            ty = fy - iy
+            rows = jnp.arange(nr, dtype=dtype)
+            cols = jnp.arange(nc, dtype=dtype)
+            Y0 = (iy[:, None] == rows[None, :]).astype(dtype)
+            Y1 = (iy[:, None] + 1.0 == rows[None, :]).astype(dtype)
+            X0 = (ix[:, None] == cols[None, :]).astype(dtype)
+            X1 = (ix[:, None] + 1.0 == cols[None, :]).astype(dtype)
+            R0 = Y0 @ data  # (N, nc)
+            R1 = Y1 @ data
+            h00 = jnp.sum(R0 * X0, -1)
+            h01 = jnp.sum(R0 * X1, -1)
+            h10 = jnp.sum(R1 * X0, -1)
+            h11 = jnp.sum(R1 * X1, -1)
+            h = (
+                h00 * (1 - tx) * (1 - ty)
+                + h01 * tx * (1 - ty)
+                + h10 * (1 - tx) * ty
+                + h11 * tx * ty
+            )
+            dh_dx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / model.hfield_cell[0]
+            dh_dy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / model.hfield_cell[1]
+            n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)], -1)
+            n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+            return jnp.concatenate([h[:, None], n], axis=1)  # (B*ncand, 4)
+
+        def sample_planes(state):
+            """(B,)-batched state -> (B, n_terrain) ground-plane rows."""
+            B = state.qpos.shape[0]
+            return planes(state.xpos, state.xquat).reshape(B, n_terrain)
+
+    else:
+        sample_planes = None
+
+    def megastep(state, terrain_planes=None):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -1220,61 +1286,11 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
             state.qacc.T.astype(dtype),
         ]
         if n_terrain:
-            # Per-candidate local ground planes (h, n) sampled at the
-            # previous step's candidate positions (state.xpos is the cached
-            # pre-integration FK) — see megastep_supported docstring.
-            # The bilinear table lookup uses one-hot MATMULS instead of XLA
-            # gathers: TPU generic gathers on (B·ncand) indices cost ~ms per
-            # step; two (N, nrow) @ (nrow, ncol) one-hot products ride the
-            # MXU in ~10 µs.
-            from flygym_tpu.engine.maths import quat_mul, quat_rotate
-
-            def planes(xpos, xquat):
-                gb = model.geom_body[model.can_geom]
-                gpos = xpos[:, gb] + quat_rotate(
-                    xquat[:, gb], model.geom_pos[model.can_geom]
-                )
-                gquat = quat_mul(xquat[:, gb], model.geom_quat[model.can_geom])
-                zax = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], dtype))
-                halflen = model.geom_size[model.can_geom, 1]
-                ep = gpos + (model.can_end * halflen)[None, :, None] * zax
-                xy = ep[..., :2].reshape(-1, 2)  # (B*ncand, 2)
-
-                data = model.hfield_data
-                nr, nc = data.shape
-                fx = (xy[:, 0] - model.hfield_xy0[0]) / model.hfield_cell[0]
-                fy = (xy[:, 1] - model.hfield_xy0[1]) / model.hfield_cell[1]
-                fx = jnp.clip(fx, 0.0, nc - 1.001)
-                fy = jnp.clip(fy, 0.0, nr - 1.001)
-                ix = jnp.floor(fx)
-                iy = jnp.floor(fy)
-                tx = fx - ix
-                ty = fy - iy
-                rows = jnp.arange(nr, dtype=dtype)
-                cols = jnp.arange(nc, dtype=dtype)
-                Y0 = (iy[:, None] == rows[None, :]).astype(dtype)
-                Y1 = (iy[:, None] + 1.0 == rows[None, :]).astype(dtype)
-                X0 = (ix[:, None] == cols[None, :]).astype(dtype)
-                X1 = (ix[:, None] + 1.0 == cols[None, :]).astype(dtype)
-                R0 = Y0 @ data  # (N, nc)
-                R1 = Y1 @ data
-                h00 = jnp.sum(R0 * X0, -1)
-                h01 = jnp.sum(R0 * X1, -1)
-                h10 = jnp.sum(R1 * X0, -1)
-                h11 = jnp.sum(R1 * X1, -1)
-                h = (
-                    h00 * (1 - tx) * (1 - ty)
-                    + h01 * tx * (1 - ty)
-                    + h10 * (1 - tx) * ty
-                    + h11 * tx * ty
-                )
-                dh_dx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / model.hfield_cell[0]
-                dh_dy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / model.hfield_cell[1]
-                n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)], -1)
-                n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-                return jnp.concatenate([h[:, None], n], axis=1)  # (B*ncand, 4)
-
-            pl_b = planes(state.xpos, state.xquat)
+            pl_b = (
+                terrain_planes
+                if terrain_planes is not None
+                else sample_planes(state)
+            )
             parts.append(pl_b.reshape(B, n_terrain).T.astype(dtype))
         packed = jnp.concatenate(parts, axis=0)
         packed, B0 = _pad_lanes(packed, BLOCK)
@@ -1336,8 +1352,17 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     # interpret mode stays unjitted: the kernel body unrolls to ~1e5 ops,
     # which the CPU backend would take tens of minutes to compile.
     if interpret or not jit:
-        return megastep
-    return jax.jit(megastep)
+        fn = megastep
+    else:
+        jitted = jax.jit(megastep)
+
+        def fn(state, terrain_planes=None):
+            return jitted(state, terrain_planes)
+
+    # Rollouts use this to amortize the (expensive) terrain-plane sampling
+    # over several kernel steps (engine/step.py:rollout_batched).
+    fn.sample_planes = sample_planes
+    return fn
 
 
 def make_megastep_sharded(

@@ -389,3 +389,71 @@ class TestMegastepGating:
         w2.spec.options["solver"] = "pgs"
         m3, _ = w2.compile()
         assert not megastep_supported(m3)
+
+
+class TestTerrainResampleChunking:
+    """rollout_batched amortizes terrain-plane sampling over K-step chunks
+    when the batched step exposes sample_planes (the mega-step kernel's
+    heightfield path). A mock step encodes which planes it received so the
+    resample schedule is observable from the trajectory."""
+
+    def test_planes_sampled_once_per_chunk(self, settled, monkeypatch):
+        import dataclasses
+
+        from flygym_tpu.engine.step import rollout_batched
+
+        model, bstate = settled
+        monkeypatch.setenv("FLYGYM_TPU_TERRAIN_RESAMPLE", "8")
+
+        def mock_step(s, planes=None):
+            assert planes is not None, "chunked path must pass planes"
+            # qpos counts steps; qvel records the planes in use.
+            return dataclasses.replace(
+                s,
+                qpos=s.qpos + 1.0,
+                qvel=jnp.broadcast_to(planes[:, :1], s.qvel.shape),
+            )
+
+        # Planes snapshot = qpos[0] at sampling time.
+        mock_step.sample_planes = lambda s: s.qpos[:, :1]
+
+        n_steps = 24  # 3 chunks of 8
+        ctrl = jnp.full(
+            (n_steps, bstate.qpos.shape[0], model.nu), jnp.nan, jnp.float32
+        )
+        final, traj = rollout_batched(
+            model, bstate, ctrl, n_steps, batched_step=mock_step
+        )
+        q0 = np.asarray(bstate.qpos[:, 0])
+        np.testing.assert_allclose(
+            np.asarray(final.qpos), np.asarray(bstate.qpos) + n_steps, atol=1e-5
+        )
+        # Final qvel carries the planes sampled at the LAST chunk start
+        # (after 16 steps), not a per-step sample (which would read 23).
+        np.testing.assert_allclose(
+            np.asarray(final.qvel[:, 0]), q0 + 16.0, atol=1e-5
+        )
+        assert traj.shape[0] == n_steps
+
+    def test_non_divisible_steps_fall_back(self, settled, monkeypatch):
+        import dataclasses
+
+        from flygym_tpu.engine.step import rollout_batched
+
+        model, bstate = settled
+        monkeypatch.setenv("FLYGYM_TPU_TERRAIN_RESAMPLE", "8")
+        calls = {"with_planes": False}
+
+        def mock_step(s, planes=None):
+            # Fallback path calls with a single argument.
+            assert planes is None
+            return dataclasses.replace(s, qpos=s.qpos + 1.0)
+
+        mock_step.sample_planes = lambda s: s.qpos[:, :1]
+        ctrl = jnp.full((7, bstate.qpos.shape[0], model.nu), jnp.nan, jnp.float32)
+        final, traj = rollout_batched(
+            model, bstate, ctrl, 7, batched_step=mock_step
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.qpos), np.asarray(bstate.qpos) + 7.0, atol=1e-5
+        )
