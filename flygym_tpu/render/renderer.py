@@ -176,7 +176,9 @@ class Renderer:
     def render(self, state: State) -> dict[str, np.ndarray]:
         """Render all cameras now. For batched states, renders the selected
         ``world_ids``; frames are (n_selected, H, W, 3) uint8."""
-        batched = np.asarray(state.time).ndim > 0 and np.asarray(state.time).size > 1
+        # Single-world Simulation has scalar time; ANY leading axis means a
+        # batched state (including n_worlds == 1, whose size is also 1).
+        batched = np.asarray(state.time).ndim > 0
         out = {}
         for ci, name in enumerate(self.camera_names):
             if batched:

@@ -116,6 +116,18 @@ class TestBatchRendering:
         # Identical worlds → identical renders.
         assert np.array_equal(frame[0], frame[1])
 
+    def test_single_world_batch_renders(self, world):
+        """n_worlds == 1 is still a BATCHED state: a leading axis, frames
+        (1, H, W, 3). Regression: batch detection once keyed on size > 1
+        and indexed the unbatched path with a batched state."""
+        bsim = flygym_tpu.BatchSimulation(world, 1)
+        renderer = bsim.set_renderer(
+            "trackcam", camera_res=(24, 32), world_ids=[0]
+        )
+        frames = renderer.render(bsim.state)
+        frame = next(iter(frames.values()))
+        assert frame.shape == (1, 24, 32, 3)
+
     def test_targetbody_camera_aims_at_fly(self):
         """``targetbody`` mode re-aims the camera at the target every frame
         (MuJoCo camera semantics; ``track`` keeps orientation fixed)."""
