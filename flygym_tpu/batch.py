@@ -84,36 +84,15 @@ class BatchSimulation(Simulation):
         # world shard, SPMD with zero collectives (the worlds are
         # independent). FLYGYM_TPU_MEGASTEP_INTERPRET=1 forces the Pallas
         # interpreter on any backend — used by CI to cover this wiring on
-        # the virtual CPU mesh.
-        import os
+        # the virtual CPU mesh (per-call stepping only; see rollout).
+        from flygym_tpu.ops.megastep import maybe_make_megastep
 
-        self._megastep = None
-        if os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0":
-            interp = os.environ.get("FLYGYM_TPU_MEGASTEP_INTERPRET", "0") == "1"
-            try:
-                from flygym_tpu.ops.megastep import (
-                    make_megastep,
-                    make_megastep_sharded,
-                    megastep_supported,
-                )
-
-                if (
-                    jax.default_backend() == "tpu" or interp
-                ) and megastep_supported(self.model):
-                    if mesh is None:
-                        self._megastep = make_megastep(
-                            self.model, interpret=interp
-                        )
-                    else:
-                        self._megastep = make_megastep_sharded(
-                            self.model,
-                            mesh,
-                            world_axis,
-                            self._initial_batch_state,
-                            interpret=interp,
-                        )
-            except Exception:
-                self._megastep = None
+        self._megastep = maybe_make_megastep(
+            self.model,
+            mesh=mesh,
+            world_axis=world_axis,
+            state_template=self._initial_batch_state,
+        )
 
         vstep = jax.vmap(engine_step, in_axes=(None, 0))
         if self._megastep is not None:
@@ -198,7 +177,9 @@ class BatchSimulation(Simulation):
     # Whole-episode rollout (the perf path)
     # ------------------------------------------------------------------
 
-    def rollout(self, ctrl_sequence, n_steps: int):
+    def rollout(
+        self, ctrl_sequence, n_steps: int, *, record_trajectory: bool = True
+    ):
         """Scan ``n_steps`` for all worlds in one XLA program.
 
         Args:
@@ -219,12 +200,19 @@ class BatchSimulation(Simulation):
                 f"ctrl_sequence has {ctrl_sequence.shape[0]} steps, "
                 f"need at least n_steps={n_steps}"
             )
+        # Interpret-mode kernels stay OUT of the jitted scan: the kernel
+        # unrolls to ~1e5 ops and XLA-CPU-compiling that takes tens of
+        # minutes (they exist for per-call wiring coverage in CI).
+        mega = self._megastep
+        if mega is not None and getattr(mega, "interpret_mode", False):
+            mega = None
         self.state, traj = rollout_batched(
             self.model,
             self.state,
             ctrl_sequence[:n_steps],
             n_steps,
-            batched_step=self._megastep,
+            batched_step=mega,
+            record=record_trajectory,
         )
         self._curr_step += n_steps
         return traj

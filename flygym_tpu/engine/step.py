@@ -134,17 +134,25 @@ def make_step_fn(model: PhysicsModel, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
-def rollout(model: PhysicsModel, state: State, ctrl_seq: jnp.ndarray, n_steps: int):
+@partial(jax.jit, static_argnames=("n_steps", "record"))
+def rollout(
+    model: PhysicsModel,
+    state: State,
+    ctrl_seq: jnp.ndarray,
+    n_steps: int,
+    record: bool = True,
+):
     """Scan a whole episode on device: the TPU equivalent of the reference's
     CUDA-graph replay loop (``time_gpu_simulation.py:137-153``).
 
     Args:
         ctrl_seq: (n_steps, nu) control inputs per step (ignored slots keep the
             previous ctrl if NaN).
+        record: Stack the per-step qpos trajectory. False avoids
+            materializing it (e.g. warmup/settling runs).
 
     Returns:
-        (final_state, stacked qpos trajectory (n_steps, nq)).
+        (final_state, stacked qpos trajectory (n_steps, nq) or None).
     """
 
     import dataclasses
@@ -152,19 +160,20 @@ def rollout(model: PhysicsModel, state: State, ctrl_seq: jnp.ndarray, n_steps: i
     def body(carry, ctrl_t):
         ctrl = jnp.where(jnp.isnan(ctrl_t), carry.ctrl, ctrl_t)
         new = step(model, dataclasses.replace(carry, ctrl=ctrl))
-        return new, new.qpos
+        return new, new.qpos if record else None
 
     final, traj = jax.lax.scan(body, state, ctrl_seq, length=n_steps)
     return final, traj
 
 
-@partial(jax.jit, static_argnames=("n_steps", "batched_step"))
+@partial(jax.jit, static_argnames=("n_steps", "batched_step", "record"))
 def rollout_batched(
     model: PhysicsModel,
     state: State,
     ctrl_seq: jnp.ndarray,
     n_steps: int,
     batched_step=None,
+    record: bool = True,
 ):
     """Batched episode scan: state has a leading world axis, ``ctrl_seq`` is
     (n_steps, n_worlds, nu). One XLA program for the whole episode across all
@@ -197,7 +206,7 @@ def rollout_batched(
             st, planes = carry
             ctrl = jnp.where(jnp.isnan(ctrl_t), st.ctrl, ctrl_t)
             new = batched_step(dataclasses.replace(st, ctrl=ctrl), planes)
-            return (new, planes), new.qpos
+            return (new, planes), new.qpos if record else None
 
         def outer(st, ctrl_chunk):
             planes = sample_planes(st)
@@ -206,12 +215,14 @@ def rollout_batched(
 
         chunks = ctrl_seq.reshape((n_outer, resample) + ctrl_seq.shape[1:])
         final, traj = jax.lax.scan(outer, state, chunks)
+        if not record:
+            return final, None
         return final, traj.reshape((n_steps,) + traj.shape[2:])
 
     def body(carry, ctrl_t):
         ctrl = jnp.where(jnp.isnan(ctrl_t), carry.ctrl, ctrl_t)
         new = batched_step(dataclasses.replace(carry, ctrl=ctrl))
-        return new, new.qpos
+        return new, new.qpos if record else None
 
     final, traj = jax.lax.scan(body, state, ctrl_seq, length=n_steps)
     return final, traj

@@ -216,20 +216,16 @@ class VectorFlyEnv:
         — the full-rate RL training path for thousands of environments.
         The returned function is jitted and usable inside ``lax.scan``.
         """
-        import os
+        from flygym_tpu.ops.megastep import maybe_make_megastep
 
-        batched_physics = None
-        use_kernel = interpret or jax.default_backend() == "tpu"
-        if use_kernel and os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0":
-            try:
-                from flygym_tpu.ops.megastep import make_megastep, megastep_supported
-
-                if megastep_supported(self.model):
-                    batched_physics = make_megastep(
-                        self.model, interpret=interpret, jit=False
-                    )
-            except Exception:
-                batched_physics = None
+        # Interpret-mode kernels must never enter the jitted scan below
+        # (~1e5-op XLA-CPU compile); with interpret=True only the (small)
+        # retina kernel runs interpreted and physics stays on vmap.
+        batched_physics = maybe_make_megastep(self.model)
+        if batched_physics is not None and getattr(
+            batched_physics, "interpret_mode", False
+        ):
+            batched_physics = None
         if batched_physics is None:
             vstep = jax.vmap(engine_step, in_axes=(None, 0))
             batched_physics = lambda s: vstep(self.model, s)

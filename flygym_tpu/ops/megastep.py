@@ -45,6 +45,7 @@ __all__ = [
     "emit_step",
     "make_megastep",
     "make_megastep_sharded",
+    "maybe_make_megastep",
     "megastep_supported",
 ]
 
@@ -269,6 +270,50 @@ class _Static:
         self.act_muscleprm = f(model.act_muscleprm)
         self.act_lengthrange = f(model.act_lengthrange)
         self.act_acc0 = f(model.act_acc0)
+
+
+def maybe_make_megastep(
+    model,
+    *,
+    mesh=None,
+    world_axis: str = "world",
+    state_template=None,
+    env: bool = True,
+):
+    """The ONE gating policy for the mega-step kernel, shared by
+    Simulation, BatchSimulation, and VectorFlyEnv (previously triplicated).
+
+    Returns a batched step function, or None when the kernel should not be
+    used: opted out (FLYGYM_TPU_MEGASTEP=0), unsupported model, non-TPU
+    backend without FLYGYM_TPU_MEGASTEP_INTERPRET=1, or a build error.
+
+    The returned function also carries ``interpret_mode`` (bool): interpret
+    builds stay UNJITTED (the kernel unrolls to ~1e5 ops; XLA-CPU-compiling
+    that takes tens of minutes) — callers must keep them out of jitted
+    scans and use them for per-call stepping only.
+    """
+    import os
+
+    import jax as _jax
+
+    if env and os.environ.get("FLYGYM_TPU_MEGASTEP", "1") == "0":
+        return None
+    interpret = os.environ.get("FLYGYM_TPU_MEGASTEP_INTERPRET", "0") == "1"
+    try:
+        if not (_jax.default_backend() == "tpu" or interpret):
+            return None
+        if not megastep_supported(model):
+            return None
+        if mesh is None:
+            fn = make_megastep(model, interpret=interpret)
+        else:
+            fn = make_megastep_sharded(
+                model, mesh, world_axis, state_template, interpret=interpret
+            )
+        fn.interpret_mode = interpret
+        return fn
+    except Exception:
+        return None
 
 
 def megastep_supported(model) -> bool:
@@ -1397,7 +1442,7 @@ def make_megastep_sharded(
     out_leaves_t, out_tree = jax.tree.flatten(out_template)
     out_empty = [int(np.prod(l.shape)) == 0 for l in out_leaves_t]
 
-    def core(*nonempty):
+    def _core(planes, *nonempty):
         it = iter(nonempty)
         b_shard = nonempty[0].shape[0]
         full = [
@@ -1406,7 +1451,7 @@ def make_megastep_sharded(
             else next(it)
             for l, e in zip(in_leaves, in_empty)
         ]
-        out = raw(jax.tree.unflatten(in_tree, full))
+        out = raw(jax.tree.unflatten(in_tree, full), planes)
         return tuple(
             l for l, e in zip(jax.tree.leaves(out), out_empty) if not e
         )
@@ -1414,18 +1459,30 @@ def make_megastep_sharded(
     n_in = sum(1 for e in in_empty if not e)
     n_out = sum(1 for e in out_empty if not e)
     sharded_core = jax.shard_map(
-        core,
+        lambda *ne: _core(None, *ne),
         mesh=mesh,
         in_specs=(spec,) * n_in,
         out_specs=(spec,) * n_out,
         check_vma=False,
     )
+    # Variant with precomputed terrain planes threaded through (sharded over
+    # worlds like everything else) — used by rollout_batched's K-step
+    # terrain-resampling path.
+    sharded_core_planes = jax.shard_map(
+        _core,
+        mesh=mesh,
+        in_specs=(spec,) * (n_in + 1),
+        out_specs=(spec,) * n_out,
+        check_vma=False,
+    )
 
-    def megastep_sharded(state):
+    def megastep_sharded(state, terrain_planes=None):
         leaves = jax.tree.leaves(state)
-        nonempty_out = sharded_core(
-            *(l for l, e in zip(leaves, in_empty) if not e)
-        )
+        nonempty = tuple(l for l, e in zip(leaves, in_empty) if not e)
+        if terrain_planes is None:
+            nonempty_out = sharded_core(*nonempty)
+        else:
+            nonempty_out = sharded_core_planes(terrain_planes, *nonempty)
         it = iter(nonempty_out)
         out_leaves = [
             jnp.zeros(t.shape, t.dtype) if e else next(it)
@@ -1434,5 +1491,14 @@ def make_megastep_sharded(
         return jax.tree.unflatten(out_tree, out_leaves)
 
     if interpret:
-        return megastep_sharded
-    return jax.jit(megastep_sharded)
+        fn = megastep_sharded
+    else:
+        jitted = jax.jit(megastep_sharded)
+
+        def fn(state, terrain_planes=None):
+            return jitted(state, terrain_planes)
+
+    # Plane sampling is plain jnp OUTSIDE shard_map: under the caller's jit,
+    # GSPMD propagates the world sharding through it automatically.
+    fn.sample_planes = raw.sample_planes
+    return fn

@@ -247,24 +247,31 @@ class Renderer:
                 pass
             try:
                 import base64
-                import io
+                import tempfile
+                from pathlib import Path as _Path
 
-                import imageio.v2 as imageio
                 from IPython.display import HTML, display
 
-                buf = io.BytesIO()
-                imageio.mimwrite(
-                    buf, frames, format="mp4", fps=self.output_fps
+                from flygym_tpu.utils.video import write_video
+
+                # Go through write_video (a real temp file, not BytesIO:
+                # imageio's in-memory writer cannot resolve the mp4 format
+                # and raises ValueError) so the pad-to-16 / gif-fallback
+                # logic is shared with save_video.
+                with tempfile.TemporaryDirectory() as td:
+                    out = _Path(td) / "clip.mp4"
+                    write_video(out, frames, fps=self.output_fps)
+                    real = out if out.exists() else out.with_suffix(".gif")
+                    mime = "video/mp4" if real.suffix == ".mp4" else "image/gif"
+                    b64 = base64.b64encode(real.read_bytes()).decode("ascii")
+                tag = (
+                    f'<video controls autoplay loop src='
+                    f'"data:{mime};base64,{b64}"></video>'
+                    if mime == "video/mp4"
+                    else f'<img src="data:{mime};base64,{b64}">'
                 )
-                b64 = base64.b64encode(buf.getvalue()).decode("ascii")
-                display(
-                    HTML(
-                        f"<div><b>{name}</b><br>"
-                        f'<video controls autoplay loop src='
-                        f'"data:video/mp4;base64,{b64}"></video></div>'
-                    )
-                )
-            except ImportError as e:
+                display(HTML(f"<div><b>{name}</b><br>{tag}</div>"))
+            except Exception as e:
                 raise RuntimeError(
                     "Notebook display needs mediapy or IPython+imageio; "
                     "use save_video(path) instead."

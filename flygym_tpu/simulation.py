@@ -61,17 +61,15 @@ class Simulation:
         # the Pallas mega-step kernel (the kernel pads to its 1024-lane
         # block, so one fly costs the same as 1024): ~10x the in-scan rate
         # of the serial small-kernel path. Opt out with FLYGYM_TPU_MEGASTEP=0.
-        import os
+        # Interpret-mode builds are rejected: rollout puts the kernel inside
+        # a jitted scan, which interpret mode must never enter.
+        from flygym_tpu.ops.megastep import maybe_make_megastep
 
-        self._megastep = None
-        if os.environ.get("FLYGYM_TPU_MEGASTEP", "1") != "0":
-            try:
-                from flygym_tpu.ops.megastep import make_megastep, megastep_supported
-
-                if jax.default_backend() == "tpu" and megastep_supported(self.model):
-                    self._megastep = make_megastep(self.model)
-            except Exception:
-                self._megastep = None
+        self._megastep = maybe_make_megastep(self.model)
+        if self._megastep is not None and getattr(
+            self._megastep, "interpret_mode", False
+        ):
+            self._megastep = None
 
         self._map_internal_ids()
 
@@ -181,12 +179,18 @@ class Simulation:
         (no per-step dispatch) while holding the current control."""
         n_steps = int(duration_s / self.model.timestep)
         if n_steps > 0:
-            self.rollout(None, n_steps)
+            self.rollout(None, n_steps, record_trajectory=False)
             # Warmup is excluded from perf-report step counts, like the
             # reference's (which steps without profiling).
             self._curr_step -= n_steps
 
-    def rollout(self, ctrl_sequence: np.ndarray | None, n_steps: int):
+    def rollout(
+        self,
+        ctrl_sequence: np.ndarray | None,
+        n_steps: int,
+        *,
+        record_trajectory: bool = True,
+    ):
         """Run ``n_steps`` entirely on device under ``lax.scan``.
 
         This is the performance path — the TPU analog of the reference's
@@ -222,12 +226,14 @@ class Simulation:
                 ctrl_sequence[:n_steps, None, :],
                 n_steps,
                 batched_step=self._megastep,
+                record=record_trajectory,
             )
             self.state = jax.tree.map(lambda x: x[0], final)
             self._curr_step += n_steps
-            return traj[:, 0]
+            return traj[:, 0] if record_trajectory else None
         self.state, traj = engine_rollout(
-            self.model, self.state, ctrl_sequence[:n_steps], n_steps
+            self.model, self.state, ctrl_sequence[:n_steps], n_steps,
+            record=record_trajectory,
         )
         self._curr_step += n_steps
         return traj

@@ -200,3 +200,75 @@ class TestSharding:
         mesh = Mesh(np.array(devices[:8]), axis_names=("world",))
         with pytest.raises(ValueError):
             flygym_tpu.BatchSimulation(world, 12, mesh=mesh)
+
+
+class TestShardedTerrainPlanes:
+    """make_megastep_sharded threads precomputed terrain planes through
+    shard_map (sample_planes attribute), so mesh rollouts get the same
+    K-step plane-resampling amortization as single-chip ones."""
+
+    def test_sample_planes_exposed_and_threaded(self, monkeypatch):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from flygym_tpu.compose import BlocksTerrainWorld
+        from flygym_tpu.ops import megastep as ms
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        fly = Fly(name=FLY)
+        fly.add_joints(
+            Skeleton(
+                axis_order=AxisOrder.YAW_PITCH_ROLL,
+                joint_preset=JointPreset.LEGS_ONLY,
+            ),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        w = BlocksTerrainWorld()
+        w.add_fly(fly, (0, 0, 1.5), Rotation3D("quat", (1, 0, 0, 0)))
+        model, state0 = w.compile()
+        assert model.has_hfield
+
+        def mock_emit(st, q, v, ctrl, act, warm, terrain=None):
+            # Terrain rows must arrive; fold the first plane height into
+            # qpos so threading is observable.
+            assert terrain is not None and len(terrain) == st.ncand
+            h0 = terrain[0][0]
+            z = jnp.zeros_like(q[0])
+            return dict(
+                qpos=[x + h0 + 1.0 for x in q],
+                qvel=list(v),
+                act=list(act),
+                qacc=list(warm),
+                xpos=[(z, z, z) for _ in range(st.nbody)],
+                xquat=[(z + 1.0, z, z, z) for _ in range(st.nbody)],
+                site_xpos=[(z, z, z) for _ in range(st.nsite)],
+                actuator_force=[c for c in ctrl],
+                sensordata=[[z] * 16 for _ in range(st.nsensor)],
+            )
+
+        monkeypatch.setattr(ms, "emit_step", mock_emit)
+        mesh = Mesh(np.array(devices[:8]), axis_names=("world",))
+        bstate = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (16,) + x.shape), state0
+        )
+        mega = ms.make_megastep_sharded(model, mesh, "world", bstate,
+                                        interpret=True)
+        assert mega.sample_planes is not None
+        planes = mega.sample_planes(bstate)
+        assert planes.shape == (16, 4 * model.ncand)
+
+        out_auto = mega(bstate)            # samples planes internally
+        out_given = mega(bstate, planes)   # precomputed planes threaded
+        np.testing.assert_allclose(
+            np.asarray(out_auto.qpos), np.asarray(out_given.qpos), atol=1e-6
+        )
+        # The mock adds (candidate-0 plane height + 1) to every qpos entry,
+        # so the exact planes the kernel received are observable.
+        expected = np.asarray(bstate.qpos) + np.asarray(planes[:, 0:1]) + 1.0
+        np.testing.assert_allclose(
+            np.asarray(out_given.qpos), expected, atol=1e-6
+        )
