@@ -14,7 +14,7 @@ inside a scanned episode (render-while-stepping without host round trips).
 
 import jax.numpy as jnp
 
-from flygym_tpu.engine.maths import quat_rotate, quat_to_mat
+from flygym_tpu.engine.maths import quat_conj, quat_rotate, quat_to_mat
 from flygym_tpu.engine.model import PhysicsModel
 
 __all__ = ["camera_rays", "raycast_scene", "render_pixels"]
@@ -154,6 +154,81 @@ def _capsule_segments(model, gpos, gquat):
     return p0, p1, radius
 
 
+def _soft_shadow_capsules(p0, p1, radius, capsule_mask, origins, directions, k=24.0):
+    """Penumbra factor per shadow ray in [0, 1] (0 = fully occluded).
+
+    One chunked sweep computing, per geom, the ray↔capsule-surface closest
+    approach (classic SDF soft-shadow estimate ``k * miss / t`` without the
+    march): rays that graze a capsule darken smoothly instead of the hard
+    umbra cutoff. Same cost shape as :func:`_nearest_capsule_hit`.
+    """
+    R = origins.shape[0]
+    CHUNK = 8
+    pen = jnp.ones((R,), origins.dtype)
+    ngeom = p0.shape[0]
+    for c0 in range(0, ngeom, CHUNK):
+        c1 = min(c0 + CHUNK, ngeom)
+        a0 = p0[None, c0:c1, :]
+        ba = p1[None, c0:c1, :] - a0
+        oa = origins[:, None, :] - a0
+        d = directions[:, None, :]
+        # Closest approach between the ray (t >= 0) and the segment
+        # (s in [0, 1]) — segment-segment closest points with one side
+        # clamped below only.
+        a_q = jnp.sum(d * d, axis=-1)
+        e_q = jnp.sum(ba * ba, axis=-1)
+        b_q = jnp.sum(d * ba, axis=-1)
+        c_q = jnp.sum(d * oa, axis=-1)
+        f_q = jnp.sum(ba * oa, axis=-1)
+        denom = jnp.maximum(a_q * e_q - b_q * b_q, 1e-12)
+        s = jnp.clip((b_q * -c_q + f_q * a_q) / denom, 0.0, 1.0)
+        t = jnp.maximum((b_q * s - c_q) / jnp.maximum(a_q, 1e-12), 1e-6)
+        closest_ray = origins[:, None, :] + t[..., None] * d
+        closest_seg = a0 + s[..., None] * ba
+        miss = (
+            jnp.linalg.norm(closest_ray - closest_seg, axis=-1)
+            - radius[None, c0:c1]
+        )
+        # Divide by a floored t: keeps a grazing ray near its own surface
+        # from self-darkening, and reads as contact occlusion where a foot
+        # meets the ground (mm-scale scene; floor = 0.2 mm).
+        geom_pen = jnp.clip(k * miss / jnp.maximum(t, 0.2), 0.0, 1.0)
+        geom_pen = jnp.where(capsule_mask[None, c0:c1] > 0, geom_pen, 1.0)
+        pen = jnp.minimum(pen, jnp.min(geom_pen, axis=1))
+    return pen
+
+
+def _hash31(p):
+    """Cheap 3D→1D lattice hash in [0, 1) (shader-style sin hash)."""
+    h = jnp.sin(
+        p[..., 0] * 127.1 + p[..., 1] * 311.7 + p[..., 2] * 74.7
+    ) * 43758.5453
+    return h - jnp.floor(h)
+
+
+def _value_noise3(p):
+    """Trilinear value noise on the unit lattice, in [0, 1)."""
+    pi = jnp.floor(p)
+    pf = p - pi
+    w = pf * pf * (3.0 - 2.0 * pf)  # smoothstep fade
+
+    def corner(dx, dy, dz):
+        offs = jnp.array([dx, dy, dz], p.dtype)
+        return _hash31(pi + offs)
+
+    n000, n100 = corner(0, 0, 0), corner(1, 0, 0)
+    n010, n110 = corner(0, 1, 0), corner(1, 1, 0)
+    n001, n101 = corner(0, 0, 1), corner(1, 0, 1)
+    n011, n111 = corner(0, 1, 1), corner(1, 1, 1)
+    nx00 = n000 + w[..., 0] * (n100 - n000)
+    nx10 = n010 + w[..., 0] * (n110 - n010)
+    nx01 = n001 + w[..., 0] * (n101 - n001)
+    nx11 = n011 + w[..., 0] * (n111 - n011)
+    nxy0 = nx00 + w[..., 1] * (nx10 - nx00)
+    nxy1 = nx01 + w[..., 1] * (nx11 - nx01)
+    return nxy0 + w[..., 2] * (nxy1 - nxy0)
+
+
 def _nearest_capsule_hit(p0, p1, radius, capsule_mask, origins, directions):
     """Nearest capsule hit per ray: (t, geom_idx).
 
@@ -255,8 +330,11 @@ def render_pixels(
 ):
     """Render one RGB frame (H, W, 3) float in [0, 1].
 
-    Shading: headlight Lambertian + ambient, checkerboard ground (the
-    reference's checker texture, ``world.py:234-250``), distance-fogged sky.
+    Shading: sun + camera-headlight Lambertian with Blinn-Phong specular,
+    soft capsule shadows (closed-form penumbra, :func:`_soft_shadow_capsules`),
+    procedural body-local speckle texture on fly geoms and checkerboard +
+    noise-tinted ground (the reference renders MuJoCo GL textures/materials,
+    ``rendering.py:16-268``; terrains tint by height).
     """
     dtype = gpos.dtype
     dirs_cam = camera_rays(height, width, fovy_deg, dtype).reshape(-1, 3)
@@ -274,6 +352,19 @@ def render_pixels(
     # Fly.colorize → model.geom_rgba, the reference's material pipeline,
     # ``fly.py:443-469``).
     geom_rgb = model.geom_rgba[jnp.maximum(geom_idx, 0), :3]
+
+    # Procedural cuticle speckle in the *body-local* frame (stable under
+    # motion): two-octave value noise on the hit point rotated/translated
+    # into the nearest geom's frame.
+    gq_hit = gquat[jnp.maximum(geom_idx, 0)]
+    gp_hit = gpos[jnp.maximum(geom_idx, 0)]
+    local_p = quat_rotate(quat_conj(gq_hit), hit_p - gp_hit)
+    speckle = _value_noise3(local_p * 14.0) + 0.5 * _value_noise3(
+        local_p * 41.0
+    )
+    speckle = speckle / 1.5  # back to [0, 1)
+    geom_rgb = geom_rgb * (0.82 + 0.36 * speckle[:, None])
+
     checker = (
         jnp.floor(hit_p[:, 0] / checker_period)
         + jnp.floor(hit_p[:, 1] / checker_period)
@@ -283,6 +374,19 @@ def render_pixels(
         jnp.array([0.4, 0.4, 0.4], dtype),
         jnp.array([0.3, 0.3, 0.3], dtype),
     )
+    # Large-scale noise tint breaks up the checker's flatness; heightfield
+    # terrains additionally tint by elevation (sand low, grey high).
+    gnoise = _value_noise3(hit_p * jnp.array([0.7, 0.7, 0.0], dtype))
+    ground_rgb = ground_rgb * (0.9 + 0.2 * gnoise[:, None])
+    if model.has_hfield:
+        hmin = jnp.min(model.hfield_data)
+        zspan = jnp.maximum(jnp.max(model.hfield_data) - hmin, 1e-6)
+        rel_h = jnp.clip((hit_p[:, 2] - hmin) / zspan, 0.0, 1.0)
+        low_rgb = jnp.array([0.42, 0.36, 0.26], dtype)  # sandy
+        high_rgb = jnp.array([0.45, 0.45, 0.47], dtype)  # rocky
+        ground_rgb = ground_rgb * 0.35 + 0.65 * (
+            low_rgb * (1 - rel_h[:, None]) + high_rgb * rel_h[:, None]
+        )
     sky_rgb = jnp.array([0.65, 0.75, 0.9], dtype)
     base = jnp.where(
         (geom_idx >= 0)[:, None],
@@ -290,24 +394,33 @@ def render_pixels(
         jnp.where((geom_idx == -1)[:, None], ground_rgb, sky_rgb),
     )
 
-    # Lighting: fixed sun + camera headlight fill + hard shadow ray.
-    # The shadow test only needs the capsules (the ground plane cannot
-    # shadow itself), so it reuses the chunked capsule sweep — one extra
-    # sweep, no heightfield march.
+    # Lighting: fixed sun + camera headlight fill + soft capsule shadows.
+    # The shadow sweep only needs the capsules (the ground plane cannot
+    # shadow itself) — one extra chunked sweep, no heightfield march.
     sun = jnp.array([0.3, 0.2, 0.93], dtype)
     sun = sun / jnp.linalg.norm(sun)
     p0, p1, radius = _capsule_segments(model, gpos, gquat)
     shadow_orig = hit_p + 1e-2 * normal  # mm-scale scene: 10 µm bias
     sun_dirs = jnp.broadcast_to(sun, shadow_orig.shape)
-    t_shadow, _ = _nearest_capsule_hit(
+    penumbra = _soft_shadow_capsules(
         p0, p1, radius, capsule_mask, shadow_orig, sun_dirs
     )
-    lit = jnp.where(t_shadow < _BIG, 0.35, 1.0)  # soft-ish umbra
+    lit = 0.35 + 0.65 * penumbra  # never fully black in the umbra
 
     diffuse = jnp.maximum(jnp.sum(normal * sun, axis=-1), 0.0)
     headlight = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
     shade = 0.30 + 0.25 * headlight + 0.50 * diffuse * lit
+    # Blinn-Phong specular from the sun (shadowed): wet-cuticle highlight
+    # on the fly, subtle sheen on the ground.
+    half_v = sun - dirs
+    half_v = half_v / jnp.maximum(
+        jnp.linalg.norm(half_v, axis=-1, keepdims=True), 1e-9
+    )
+    spec_dot = jnp.maximum(jnp.sum(normal * half_v, axis=-1), 0.0)
+    ks = jnp.where(geom_idx >= 0, 0.35, 0.06)
+    spec = ks * spec_dot**32 * lit
     rgb = base * jnp.where((geom_idx == -2)[:, None], 1.0, shade[:, None])
+    rgb = rgb + jnp.where(geom_idx == -2, 0.0, spec)[:, None]
 
     # Subtle distance fog on the ground for depth perception.
     fog = jnp.clip(t / 60.0, 0.0, 1.0)
