@@ -13,9 +13,12 @@ from pathlib import Path
 
 # The Pallas mega-step kernel (ops/megastep.py) needs a larger scoped-VMEM
 # stack than libtpu's 16 MiB default (the whole physics step lives in one
-# kernel). Must be set before the TPU backend initializes; appending is safe
-# if the flag is already present or no TPU is attached.
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+# kernel; a two-fly model with fly-fly contact rows measures ~85 MiB of
+# Mosaic stack). 96 MiB leaves ~32 MiB of the v5e's 128 MiB VMEM for the
+# kernel's in/out block double-buffers. Must be set before the TPU backend
+# initializes; appending is safe if the flag is already present or no TPU
+# is attached.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=98304"
 if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
     _os.environ["LIBTPU_INIT_ARGS"] = (
         _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG

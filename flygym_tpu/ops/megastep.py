@@ -30,8 +30,12 @@ The emitter (:func:`emit_step`) is pure elementwise jnp over lane vectors,
 so the exact in-kernel computation can be run and tested *outside* Pallas by
 feeding (B,) arrays — see tests/engine/test_megastep.py.
 
-Scope/fallbacks: flat-ground worlds, Newton solver (the engine default).
-Heightfield terrain and the PGS cross-check solver stay on the jnp path.
+Scope/fallbacks: flat-ground + heightfield worlds (terrain sampled as
+per-candidate local planes outside the kernel), fly-fly capsule-capsule
+pair rows, Newton solver (the engine default). The PGS cross-check solver,
+the strict-parity exact-Newton mode, and models whose estimated Mosaic
+stack exceeds scoped VMEM (see :func:`megastep_supported`) stay on the
+jnp path.
 
 Replaces (perf-path only): MuJoCo's mj_step + MuJoCo-Warp's batched kernels
 behind the reference's GPU simulation (flygym ``warp/simulation.py``).
@@ -56,6 +60,22 @@ LANE = 128
 # anyway (Mosaic pads to 8 sublanes), so packing 8 sublanes is ~free.
 SUBLANES = int(__import__("os").environ.get("FLYGYM_TPU_MEGASTEP_SUBLANES", "8"))
 BLOCK = SUBLANES * LANE
+
+
+def _est_stack_mb(model) -> float:
+    """Estimated Mosaic scoped-VMEM stack for the kernel, in MiB.
+
+    Mosaic spills live lane values to a scoped-VMEM stack in full (8, 128)
+    f32 tiles (4 KiB each) regardless of the block's sublane count —
+    measured: the two-fly kernel needs 85.35 MiB at BOTH 8 and 4 sublanes,
+    so shrinking the block never helps; the knob that matters is the
+    ``xla_tpu_scoped_vmem_limit_kib`` flag (flygym_tpu/__init__.py sets
+    96 MiB). The live set grows with the mass-matrix tree pairs (~nv) and
+    the contact rows (~ncand). Anchors: one fly (nv=72, ncand≈110) needs
+    more than libtpu's 16 but fits 64; two flies + narrow fly-fly pair set
+    (nv=144, ncand≈270) measures 85.35.
+    """
+    return 20.0 + 0.25 * model.nv + 0.11 * model.ncand
 _EPS = 1e-9
 
 _LS_ALPHAS = (
@@ -233,6 +253,9 @@ class _Static:
 
         self.can_geom = f(model.can_geom)
         self.can_body = f(model.can_body)
+        self.can_geom2 = f(model.can_geom2)
+        self.can_body2 = f(model.can_body2)
+        self.ncand_pair = int(model.ncand_pair)
         self.can_end = f(model.can_end)
         self.can_friction = f(model.can_friction)
         self.can_solref = f(model.can_solref)
@@ -324,14 +347,29 @@ def megastep_supported(model) -> bool:
     cached FK — candidates move ~1e-3 mm/step vs ~0.25 mm terrain cells, so
     the one-step-stale sample is far below contact resolution.
 
-    Capsule-capsule pair rows (fly-fly contacts) and the strict-parity
-    exact-Newton mode stay on the jnp path: the kernel's contact section
-    assumes per-row ground planes and the frozen-Hessian solver.
+    Capsule-capsule pair rows (fly-fly contacts) run in-kernel: closest
+    points between the two world-frame segments, dynamic contact frames,
+    and two-body (±1 signed) Jacobian rows over the union of both flies'
+    path DoFs. Cross-tree Hessian fill-in is dropped — identical to the
+    jnp path, whose tree-LDL factor reads only tree-pattern entries (the
+    gradient stays exact; Newton is approximate-Hessian + exact line
+    search).
+
+    The kernel processes EVERY candidate (no top-K compression), so its
+    Mosaic scoped-VMEM stack grows with the model (see :func:`_est_stack_mb`):
+    models estimated past the 96 MiB scoped limit (e.g. two flies with the
+    full default fly-fly contact preset → 3,025 pair rows) fall back to the
+    jnp path, which top-K-compresses to ncon before the solver. Narrow
+    fly-fly contact sets (e.g. ``bodysegs=`` a trunk-only list) stay
+    in-kernel.
+
+    The strict-parity exact-Newton mode stays on the jnp path: the kernel
+    freezes one factorization per step.
     """
     return (
         model.solver_type != "pgs"
-        and model.ncand_pair == 0
         and not model.solver_exact
+        and _est_stack_mb(model) <= 92.0  # headroom under the 96 MiB limit
     )
 
 
@@ -755,41 +793,125 @@ def _emit_contacts(
     nv = st.nv
 
     def key(a_, b_):
-        # Canonical tree-pair key: (ancestor_or_self, descendant).
+        # Canonical tree-pair key: (ancestor_or_self, descendant). Returns
+        # None for cross-tree pairs (fly-fly contact rows couple two
+        # disjoint kinematic trees): those Hessian entries fall outside the
+        # tree-LDL sparsity pattern and are dropped — exactly what the jnp
+        # path's tree factor does (the gradient stays exact; Newton becomes
+        # approximate-Hessian with exact line search).
         if a_ == b_:
             return (a_, b_)
-        return (a_, b_) if a_ in st.dof_chains[b_] else (b_, a_)
+        if a_ in st.dof_chains[b_]:
+            return (a_, b_)
+        if b_ in st.dof_chains[a_]:
+            return (b_, a_)
+        return None
 
     if st.ncand == 0:
         Ld, dd = _tree_ldl(st, Mh, z)
         qacc = _tree_solve(st, Ld, dd, qfrc)
         return qacc, None, None
 
-    # ---- candidate geometry (flat ground plane z = ground_z) ----
+    def geom_world_frame(gi):
+        b_ = int(st.geom_body[gi])
+        gp = st.geom_pos[gi]
+        gq = st.geom_quat[gi]
+        gpos = _add3(
+            xpos[b_],
+            _qrot(
+                xquat[b_],
+                (_const(gp[0], z), _const(gp[1], z), _const(gp[2], z)),
+            ),
+        )
+        gquat = _qmul(
+            xquat[b_],
+            (
+                _const(gq[0], z),
+                _const(gq[1], z),
+                _const(gq[2], z),
+                _const(gq[3], z),
+            ),
+        )
+        return b_, gpos, _qrot(gquat, (z, z, one))
+
+    # ---- candidate geometry ----
+    # Rows [0, ncand - ncand_pair): capsule-end vs ground (flat plane or
+    # terrain local planes). Rows [ncand - ncand_pair, ncand):
+    # capsule-capsule fly-fly pairs (closest points between the two
+    # segments; normal from geom2 toward geom1 — lane port of
+    # contact.py:_segseg_closest / contact_candidates pair branch).
+    ng_rows = st.ncand - st.ncand_pair
     cons = []
     for cidx in range(st.ncand):
         gi = int(st.can_geom[cidx])
-        b = int(st.geom_body[gi])
-        gp = st.geom_pos[gi]
-        gq = st.geom_quat[gi]
-        gpos = _add3(xpos[b], _qrot(xquat[b], (_const(gp[0], z), _const(gp[1], z), _const(gp[2], z))))
-        gquat = _qmul(xquat[b], (_const(gq[0], z), _const(gq[1], z), _const(gq[2], z), _const(gq[3], z)))
-        zax = _qrot(gquat, (z, z, one))
+        b, gpos, zax = geom_world_frame(gi)
         radius = float(st.geom_size[gi, 0])
         halflen = float(st.geom_size[gi, 1])
-        end = float(st.can_end[cidx])
-        ep = _add3(gpos, _scale3(zax, end * halflen))
-        if terrain is None:
-            # Flat ground: frame is axis-aligned (n = z, t1 = x, t2 = y).
-            dist = ep[2] - st.ground_z - radius
-            n_c = None
-            cpos = (ep[0], ep[1], ep[2] - (radius + 0.5 * dist))
+        b2 = None
+        if cidx < ng_rows:
+            end = float(st.can_end[cidx])
+            ep = _add3(gpos, _scale3(zax, end * halflen))
+            if terrain is None:
+                # Flat ground: frame is axis-aligned (n = z, t1 = x, t2 = y).
+                dist = ep[2] - st.ground_z - radius
+                n_c = None
+                cpos = (ep[0], ep[1], ep[2] - (radius + 0.5 * dist))
+            else:
+                h_c, nx_c, ny_c, nz_c = terrain[cidx]
+                n_c = (nx_c, ny_c, nz_c)
+                # Same signed-distance form as contact_candidates.
+                dist = (ep[2] - h_c) * nz_c - radius
+                cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
         else:
-            h_c, nx_c, ny_c, nz_c = terrain[cidx]
-            n_c = (nx_c, ny_c, nz_c)
-            # Same signed-distance form as contact_candidates (contact.py).
-            dist = (ep[2] - h_c) * nz_c - radius
-            cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
+            gi2 = int(st.can_geom2[cidx])
+            b2, gpos2, zax2 = geom_world_frame(gi2)
+            r2 = float(st.geom_size[gi2, 0])
+            h2 = float(st.geom_size[gi2, 1])
+            a0 = _sub3(gpos, _scale3(zax, halflen))
+            d1 = _scale3(zax, 2.0 * halflen)  # a1 - a0
+            b0 = _sub3(gpos2, _scale3(zax2, h2))
+            d2 = _scale3(zax2, 2.0 * h2)
+            r_ = _sub3(a0, b0)
+            a_q = _dot3(d1, d1)
+            e_q = _dot3(d2, d2)
+            f_q = _dot3(d2, r_)
+            c_q = _dot3(d1, r_)
+            b_q = _dot3(d1, d2)
+            denom = a_q * e_q - b_q * b_q
+            s_p = jnp.where(
+                denom > 1e-12,
+                jnp.clip(
+                    (b_q * f_q - c_q * e_q) / jnp.maximum(denom, 1e-12),
+                    0.0,
+                    1.0,
+                ),
+                0.0,
+            )
+            t_p = jnp.where(
+                e_q > 1e-12,
+                (b_q * s_p + f_q) / jnp.maximum(e_q, 1e-12),
+                0.0,
+            )
+            t_p = jnp.clip(t_p, 0.0, 1.0)
+            s_p = jnp.where(
+                a_q > 1e-12,
+                jnp.clip(
+                    (b_q * t_p - c_q) / jnp.maximum(a_q, 1e-12), 0.0, 1.0
+                ),
+                0.0,
+            )
+            c1 = _add3(a0, _scale3(d1, s_p))
+            c2 = _add3(b0, _scale3(d2, t_p))
+            dvec = _sub3(c1, c2)
+            dn = jnp.sqrt(jnp.maximum(_dot3(dvec, dvec), 1e-18))
+            ok = dn > 1e-9
+            n_c = (
+                jnp.where(ok, dvec[0] / dn, 0.0),
+                jnp.where(ok, dvec[1] / dn, 0.0),
+                jnp.where(ok, dvec[2] / dn, 1.0),
+            )
+            dist = dn - radius - r2
+            cpos = _sub3(c1, _scale3(n_c, radius + 0.5 * dist))
         margin = float(st.can_margin[cidx])
         active = dist < margin
 
@@ -816,14 +938,24 @@ def _emit_contacts(
             t1 = _scale3(t1, 1.0 / t1n)
             t2 = _cross(n_c, t1)
 
-        # Translational contact Jacobian rows on the path dofs.
-        path = st.body_path_dofs[b]
+        # Translational contact Jacobian rows on the path dofs. Two-body
+        # pair rows share the contact point: per-DoF sign is +1 when the
+        # DoF moves body1, -1 when it moves body2 (contact.py:_affects).
+        dof_signs = {d: 1.0 for d in st.body_path_dofs[b]}
+        if b2 is not None:
+            for d in st.body_path_dofs[b2]:
+                dof_signs[d] = dof_signs.get(d, 0.0) - 1.0
+        path = [d for d, sgn in dof_signs.items() if sgn != 0.0]
         rel = _sub3(cpos, ref)
         Jn, Jt1, Jt2 = {}, {}, {}
         Jrn, Jrt1, Jrt2 = {}, {}, {}
         for d in path:
             w_, v_ = S[d]
             jp = _add3(v_, _cross(w_, rel))
+            sgn = dof_signs[d]
+            if sgn != 1.0:  # keep the hot single-body path multiply-free
+                jp = _scale3(jp, sgn)
+                w_ = _scale3(w_, sgn)
             if n_c is None:
                 # Flat frame: pick components (n = z, t1 = x, t2 = y).
                 Jt1[d], Jt2[d], Jn[d] = jp[0], jp[1], jp[2]
@@ -931,6 +1063,8 @@ def _emit_contacts(
             ja = r["J"][a_]
             for b_ in path[i_:]:
                 k = key(a_, b_)
+                if k is None:  # cross-tree fill-in: dropped (see key())
+                    continue
                 H[k] = H[k] + w_r * ja * r["J"][b_]
     for d in range(nv):
         H[(d, d)] = H[(d, d)] + 1e-9
@@ -1317,6 +1451,12 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     else:
         sample_planes = None
 
+    # Always 8 sublanes: Mosaic pads spilled values to full (8, 128) tiles,
+    # so a narrower block costs the SAME scoped-VMEM stack at half the
+    # throughput (measured — see _est_stack_mb).
+    sublanes = SUBLANES
+    block = sublanes * LANE
+
     def megastep(state, terrain_planes=None):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -1338,25 +1478,26 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
             )
             parts.append(pl_b.reshape(B, n_terrain).T.astype(dtype))
         packed = jnp.concatenate(parts, axis=0)
-        packed, B0 = _pad_lanes(packed, BLOCK)
+        packed, B0 = _pad_lanes(packed, block)
         bp = packed.shape[1]
-        nblk = bp // BLOCK
-        # Worlds pack as (block, sublane, lane): each per-world value is an
-        # (SUBLANES, LANE) tile inside the kernel — full VPU vregs.
-        packed = packed.reshape(n_in, nblk, SUBLANES, LANE)
+        nblk = bp // block
+        # Worlds pack as (block, sublane, lane): each per-world value is a
+        # (sublanes, LANE) tile inside the kernel — full VPU vregs at 8,
+        # fewer for big models whose Mosaic stack would blow scoped VMEM.
+        packed = packed.reshape(n_in, nblk, sublanes, LANE)
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_out, nblk, SUBLANES, LANE), dtype),
+            out_shape=jax.ShapeDtypeStruct((n_out, nblk, sublanes, LANE), dtype),
             grid=(nblk,),
             in_specs=[
                 pl.BlockSpec(
-                    (n_in, 1, SUBLANES, LANE),
+                    (n_in, 1, sublanes, LANE),
                     lambda i: (0, i, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=pl.BlockSpec(
-                (n_out, 1, SUBLANES, LANE),
+                (n_out, 1, sublanes, LANE),
                 lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -457,3 +457,74 @@ class TestTerrainResampleChunking:
         np.testing.assert_allclose(
             np.asarray(final.qpos), np.asarray(bstate.qpos) + 7.0, atol=1e-5
         )
+
+
+class TestPairRowsMatchEngine:
+    """Fly-fly capsule-capsule pair rows in the kernel emitter: a fly
+    dropped onto another must produce the same constrained step as the jnp
+    path (which builds the identical candidate table, then top-K-compresses
+    — agreement requires active contacts <= ncon, true here)."""
+
+    @pytest.fixture(scope="class")
+    def stacked(self):
+        from flygym_tpu.anatomy import ContactBodiesPreset
+
+        def mkfly(name):
+            fly = Fly(name=name)
+            fly.add_joints(
+                Skeleton(
+                    axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY
+                ),
+                neutral_pose=KinematicPosePreset.NEUTRAL,
+            )
+            fly.add_leg_adhesion()
+            return fly
+
+        world = FlatGroundWorld()
+        world.add_fly(mkfly("lo"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+        world.add_fly(mkfly("hi"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+        # Narrow pair set (body trunks only) so the kernel stays below its
+        # candidate budget; the jnp path uses the same table.
+        segs = [
+            s
+            for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
+            if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
+        ]
+        n = world.add_fly_fly_contacts("lo", "hi", bodysegs=segs)
+        assert n > 0
+        model, state0 = world.compile()
+        from flygym_tpu.ops.megastep import megastep_supported
+
+        assert model.ncand_pair == n
+        assert megastep_supported(model), model.ncand
+        # Drop "hi" onto "lo" so pair rows are ACTIVE in the settled state.
+        ctrl = jnp.zeros((model.nu,), jnp.float32)
+        bstate = _batched_state(model, state0, n_steps=250, ctrl=ctrl)
+        return model, bstate
+
+    def test_emitter_matches_jnp_step_with_pair_contacts(self, stacked):
+        model, bstate = stacked
+        # Sanity: the upper fly is resting on/near the lower one, not the
+        # ground: pair rows are doing work in this state.
+        z_hi = float(bstate.xpos[0, model.nbody // 2 + 1, 2])
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        got = _emit_batched(model, bstate)
+        np.testing.assert_allclose(
+            np.asarray(got["xpos"]), np.asarray(ref.xpos), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["qvel"]), np.asarray(ref.qvel), atol=2e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["qpos"]), np.asarray(ref.qpos), atol=2e-4
+        )
+
+    def test_flies_interact_in_emitter(self, stacked):
+        """The settled two-fly stack rests with the upper fly clearly above
+        the lower one's body height (not fallen through to the ground)."""
+        model, bstate = stacked
+        # Root z of each fly (free joint slots 2 and 9+2... read from qpos):
+        z_lo = float(bstate.qpos[0, 2])
+        hi_qadr = model.free_joints[1][1]
+        z_hi = float(bstate.qpos[0, hi_qadr + 2])
+        assert z_hi > z_lo + 0.4, (z_lo, z_hi)

@@ -127,3 +127,64 @@ class TestMegastepOnTPU:
             np.asarray(out_full.qpos)[:37],
             atol=1e-6,
         )
+
+
+class TestPairRowsOnTPU:
+    """Mosaic-compiled kernel with fly-fly capsule-capsule pair rows: one
+    fly resting on another must match the vmapped jnp step."""
+
+    @pytest.fixture(scope="class")
+    def stacked_state(self):
+        from flygym_tpu.anatomy import ContactBodiesPreset
+        from flygym_tpu.engine.step import rollout_batched
+        from flygym_tpu.ops.megastep import make_megastep, megastep_supported
+
+        def mkfly(name):
+            fly = Fly(name=name)
+            fly.add_joints(
+                Skeleton(
+                    axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY
+                ),
+                neutral_pose=KinematicPosePreset.NEUTRAL,
+            )
+            fly.add_leg_adhesion()
+            return fly
+
+        world = FlatGroundWorld()
+        world.add_fly(mkfly("lo"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+        world.add_fly(mkfly("hi"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+        segs = [
+            s
+            for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
+            if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
+        ]
+        world.add_fly_fly_contacts("lo", "hi", bodysegs=segs)
+        model, state0 = world.compile()
+        assert megastep_supported(model), model.ncand
+
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
+        )
+        # Settle well past the drop-impact transient (~25 ms free fall +
+        # bounce): at 250 steps |qvel| is still ~15 and fp-contraction
+        # differences between Mosaic and XLA amplify through the contact
+        # solve; at 600 steps the stack is quasi-static.
+        nan_ctrl = jnp.full((600, B, model.nu), jnp.nan, jnp.float32)
+        bstate, _ = rollout_batched(model, bstate, nan_ctrl, 600)
+        mega = make_megastep(model)
+        return model, bstate, mega
+
+    def test_pair_kernel_matches_jnp(self, stacked_state):
+        model, bstate, mega = stacked_state
+        from flygym_tpu.engine.step import step as engine_step
+
+        ref = jax.jit(jax.vmap(lambda s: engine_step(model, s)))(bstate)
+        got = mega(bstate)
+        np.testing.assert_allclose(
+            np.asarray(got.xpos), np.asarray(ref.xpos), atol=5e-4
+        )
+        # qvel tolerance covers Mosaic-vs-XLA fp contraction/ordering noise
+        # through the contact solve (sub-1% relative on residual motion).
+        np.testing.assert_allclose(
+            np.asarray(got.qvel), np.asarray(ref.qvel), atol=1e-1
+        )
