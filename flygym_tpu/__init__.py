@@ -14,11 +14,12 @@ from pathlib import Path
 # The Pallas mega-step kernel (ops/megastep.py) needs a larger scoped-VMEM
 # stack than libtpu's 16 MiB default (the whole physics step lives in one
 # kernel; a two-fly model with fly-fly contact rows measures ~85 MiB of
-# Mosaic stack). 96 MiB leaves ~32 MiB of the v5e's 128 MiB VMEM for the
-# kernel's in/out block double-buffers. Must be set before the TPU backend
-# initializes; appending is safe if the flag is already present or no TPU
-# is attached.
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=98304"
+# Mosaic value stack + ~16 MiB of double-buffered per-block I/O = 101 MiB
+# total at multi-block grids). 112 MiB of the v5e's 128 MiB VMEM; the
+# supported-model gate (ops.megastep.megastep_supported) keeps kernels
+# under it. Must be set before the TPU backend initializes; appending is
+# safe if the flag is already present or no TPU is attached.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=114688"
 if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
     _os.environ["LIBTPU_INIT_ARGS"] = (
         _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG

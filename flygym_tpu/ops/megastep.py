@@ -62,20 +62,39 @@ SUBLANES = int(__import__("os").environ.get("FLYGYM_TPU_MEGASTEP_SUBLANES", "8")
 BLOCK = SUBLANES * LANE
 
 
-def _est_stack_mb(model) -> float:
-    """Estimated Mosaic scoped-VMEM stack for the kernel, in MiB.
+def _est_scoped_mb(model) -> float:
+    """Estimated Mosaic scoped-VMEM use of the kernel, in MiB.
 
-    Mosaic spills live lane values to a scoped-VMEM stack in full (8, 128)
-    f32 tiles (4 KiB each) regardless of the block's sublane count —
-    measured: the two-fly kernel needs 85.35 MiB at BOTH 8 and 4 sublanes,
-    so shrinking the block never helps; the knob that matters is the
-    ``xla_tpu_scoped_vmem_limit_kib`` flag (flygym_tpu/__init__.py sets
-    96 MiB). The live set grows with the mass-matrix tree pairs (~nv) and
-    the contact rows (~ncand). Anchors: one fly (nv=72, ncand≈110) needs
-    more than libtpu's 16 but fits 64; two flies + narrow fly-fly pair set
-    (nv=144, ncand≈270) measures 85.35.
+    Two parts, both measured on the two-fly pair-row model (nv=144,
+    ncand≈270, n_in=446, n_out=1611):
+
+    - The value stack: Mosaic spills live lane values in full (8, 128) f32
+      tiles (4 KiB each) regardless of the block's sublane count —
+      measured 85.35 MiB at BOTH 8 and 4 sublanes, so shrinking the block
+      never helps; the knob that matters is the
+      ``xla_tpu_scoped_vmem_limit_kib`` flag (flygym_tpu/__init__.py sets
+      112 MiB of the v5e's 128 MiB). The live set grows with the
+      mass-matrix tree pairs (~nv) and the contact rows (~ncand); the
+      single-fly kernel (nv=72, ncand≈110) needs more than libtpu's
+      16 MiB default but fits 64.
+    - Double-buffered per-block I/O: with more than one grid block the
+      pipeline keeps 2x(n_in + n_out) (8, 128) tiles resident — the same
+      kernel measures 101.36 MiB total at 4 grid blocks.
     """
-    return 20.0 + 0.25 * model.nv + 0.11 * model.ncand
+    stack = 20.0 + 0.25 * model.nv + 0.11 * model.ncand
+    n_terrain = 4 * model.ncand if model.has_hfield else 0
+    n_in = model.nq + 2 * model.nv + model.nu + model.na + n_terrain
+    n_out = (
+        model.nq
+        + 2 * model.nv
+        + model.na
+        + 7 * model.nbody
+        + 3 * model.nsite
+        + model.nu
+        + 16 * model.nsensor_contact
+    )
+    io = 2 * (n_in + n_out) * (SUBLANES * LANE * 4) / 2**20
+    return stack + io
 _EPS = 1e-9
 
 _LS_ALPHAS = (
@@ -356,8 +375,8 @@ def megastep_supported(model) -> bool:
     search).
 
     The kernel processes EVERY candidate (no top-K compression), so its
-    Mosaic scoped-VMEM stack grows with the model (see :func:`_est_stack_mb`):
-    models estimated past the 96 MiB scoped limit (e.g. two flies with the
+    Mosaic scoped-VMEM use grows with the model (see :func:`_est_scoped_mb`):
+    models estimated past the 112 MiB scoped limit (e.g. two flies with the
     full default fly-fly contact preset → 3,025 pair rows) fall back to the
     jnp path, which top-K-compresses to ncon before the solver. Narrow
     fly-fly contact sets (e.g. ``bodysegs=`` a trunk-only list) stay
@@ -369,7 +388,7 @@ def megastep_supported(model) -> bool:
     return (
         model.solver_type != "pgs"
         and not model.solver_exact
-        and _est_stack_mb(model) <= 92.0  # headroom under the 96 MiB limit
+        and _est_scoped_mb(model) <= 108.0  # headroom under the 112 MiB limit
     )
 
 
