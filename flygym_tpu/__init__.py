@@ -8,22 +8,17 @@ meshes, instead of wrapping the MuJoCo C engine / MuJoCo-Warp CUDA kernels.
 Public API parity reference: flygym ``src/flygym/__init__.py:8-21``.
 """
 
-import os as _os
 from pathlib import Path
 
-# The Pallas mega-step kernel (ops/megastep.py) needs a larger scoped-VMEM
-# stack than libtpu's 16 MiB default (the whole physics step lives in one
-# kernel; a two-fly model with fly-fly contact rows measures ~85 MiB of
-# Mosaic value stack + ~16 MiB of double-buffered per-block I/O = 101 MiB
-# total at multi-block grids). 112 MiB of the v5e's 128 MiB VMEM; the
-# supported-model gate (ops.megastep.megastep_supported) keeps kernels
-# under it. Must be set before the TPU backend initializes; appending is
-# safe if the flag is already present or no TPU is attached.
-_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=114688"
-if "xla_tpu_scoped_vmem_limit_kib" not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
-    _os.environ["LIBTPU_INIT_ARGS"] = (
-        _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
-    ).strip()
+# The Pallas kernels (ops/megastep.py, ops/ldl_pallas.py,
+# ops/retina_pallas.py) need more scoped VMEM than libtpu's 16 MiB default
+# (the whole physics step lives in one kernel; its Mosaic value stack is
+# 50-100 MiB depending on the model). Each pallas_call sets its own
+# per-kernel ``vmem_limit_bytes`` (megastep sizes it from the model via
+# ops.megastep._est_scoped_mb) — a process-global LIBTPU flag sized for
+# the biggest model measurably slows the smaller kernels, so none is set
+# here. Raising ``LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=...``
+# by hand is still honored for plain-XLA (non-Pallas) programs.
 
 assets_dir = Path(__file__).parent / "assets"
 

@@ -142,6 +142,10 @@ def _factor_batched_pallas(static, H):
             ),
         ),
         scratch_shapes=[pltpu.VMEM((nv * nv, LANE_BLOCK), H.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2**20,
+        ),
     )(Ht)
     L = jnp.transpose(L_t[:, :B].reshape(nv, maxc, B), (2, 0, 1))
     d = jnp.transpose(d_t[:, :B], (1, 0))
@@ -189,6 +193,10 @@ def _solve_batched_pallas(static, L, d, b):
             (nv, LANE_BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((nv, LANE_BLOCK), b.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2**20,
+        ),
     )(L_t, d_t, b_t)
     return jnp.transpose(x_t[:, :B0], (1, 0))
 

@@ -1472,9 +1472,15 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
 
     # Always 8 sublanes: Mosaic pads spilled values to full (8, 128) tiles,
     # so a narrower block costs the SAME scoped-VMEM stack at half the
-    # throughput (measured — see _est_stack_mb).
+    # throughput (measured — see _est_scoped_mb).
     sublanes = SUBLANES
     block = sublanes * LANE
+
+    # Per-kernel VMEM limit: each model gets exactly the scoped VMEM its
+    # value stack + block I/O needs (plus headroom), instead of a global
+    # LIBTPU flag sized for the biggest supported model — a limit raised
+    # for a two-fly kernel measurably slows the single-fly one.
+    vmem_limit_bytes = int(min(127.0, _est_scoped_mb(model) + 8.0) * 2**20)
 
     def megastep(state, terrain_planes=None):
         from jax.experimental import pallas as pl
@@ -1519,6 +1525,10 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
                 (n_out, 1, sublanes, LANE),
                 lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),  # blocks = disjoint worlds
+                vmem_limit_bytes=vmem_limit_bytes,
             ),
             interpret=interpret,
         )(packed)

@@ -311,6 +311,10 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
             out_specs=pl.BlockSpec(
                 (2 * 2 * R8, LANE), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=64 * 2**20,
+            ),
             interpret=interpret,
         )(packed, const)
         out = out[:, :B]  # (2*2*R8, B)
