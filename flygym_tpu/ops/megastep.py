@@ -95,6 +95,57 @@ def _est_scoped_mb(model) -> float:
     )
     io = 2 * (n_in + n_out) * (SUBLANES * LANE * 4) / 2**20
     return stack + io
+
+
+# Fused-estimate threshold above which the kernel switches to the
+# streaming contact emitter (_emit_contacts_stream). Measured cliff: at
+# est 51-59 MiB the fused kernel is issue-bound (~9M world-steps/s on one
+# v5e); at est 76+ it collapses to ~15k (every op becomes a dependent
+# VMEM load-op-store chain). Streaming trades ~1.6x vector ops for a
+# halved live set.
+STREAM_ABOVE_MB = 60.0
+
+
+def _est_stream_mb(model) -> float:
+    """Estimated Mosaic scoped-VMEM use of the STREAMING kernel, in MiB.
+
+    Live set: motion subspace S (6nv), body frames (7nbody), the three
+    tree-sparse matrices Mh/H/Ld (~3 x pair_keys), solver vectors (~4nv),
+    ~34 persistent lane scalars per contact candidate, plus the same
+    double-buffered block I/O term as the fused kernel.
+    """
+    npairs = model.nv + sum(len(c) for c in model.dof_chains)
+    lanes = (
+        6 * model.nv
+        + 7 * model.nbody
+        + 3 * npairs
+        + 4 * model.nv
+        + 34 * model.ncand
+    )
+    return 12.0 + lanes / 256.0 + (_est_scoped_mb(model) - 20.0
+                                   - 0.25 * model.nv - 0.11 * model.ncand)
+
+
+def _stream_mode(model) -> bool:
+    """Whether the kernel should use the streaming contact emitter.
+
+    Measured so far (one v5e, 4096 worlds): streaming does NOT lift the
+    big-model cliff (ALL_BIOLOGICAL 11.6k streamed vs 19.5k fused;
+    two-fly 25.5k vs 34.7k) — the collapse is not (only) the contact
+    J-row live set. Default is therefore the fused emitter everywhere;
+    FLYGYM_TPU_MEGASTEP_STREAM=1 opts in (=auto restores est-based
+    selection for experiments).
+    """
+    import os
+
+    mode = os.environ.get("FLYGYM_TPU_MEGASTEP_STREAM", "0")
+    if mode == "1":
+        return True
+    if mode == "auto":
+        return _est_scoped_mb(model) > STREAM_ABOVE_MB
+    return False
+
+
 _EPS = 1e-9
 
 _LS_ALPHAS = (
@@ -190,6 +241,8 @@ class _Static:
         self.solver_iterations = int(model.solver_iterations)
         self.ref_body = int(model.ref_body)
         self.gravity = f(model.gravity)
+        # Big models stream the contact section (see _emit_contacts_stream).
+        self.stream = _stream_mode(model)
 
         self.body_parent = f(model.body_parent)
         self.body_pos = f(model.body_pos)
@@ -385,11 +438,12 @@ def megastep_supported(model) -> bool:
     The strict-parity exact-Newton mode stays on the jnp path: the kernel
     freezes one factorization per step.
     """
-    return (
-        model.solver_type != "pgs"
-        and not model.solver_exact
-        and _est_scoped_mb(model) <= 108.0  # headroom under the 112 MiB limit
+    if model.solver_type == "pgs" or model.solver_exact:
+        return False
+    est = (
+        _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
     )
+    return est <= 108.0  # headroom under the 128 MiB physical VMEM
 
 
 # ---------------------------------------------------------------------------
@@ -684,7 +738,8 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
             qfrc[d] = qfrc[d] + force
 
     # ---------------- contacts --------------------------------------------
-    qacc, lam_rows, con = _emit_contacts(
+    contacts_fn = _emit_contacts_stream if st.stream else _emit_contacts
+    qacc, lam_rows, con = contacts_fn(
         st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain
     )
 
@@ -802,6 +857,171 @@ def _muscle_force_lane(st, u, length, vel, a_slot, z):
     return gain * a_slot + bias
 
 
+def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one):
+    """Per-candidate contact geometry + constraint-dynamics scalars.
+
+    Rows [0, ncand - ncand_pair) are capsule-end vs ground (flat plane or
+    terrain local planes); rows [ncand - ncand_pair, ncand) are
+    capsule-capsule fly-fly pairs (closest points between the two world
+    segments; normal from geom2 toward geom1 — lane port of
+    contact.py:_segseg_closest / contact_candidates pair branch).
+
+    Returns a dict of lane-vector scalars shared by the fused and
+    streaming contact emitters: body/body2, path + per-DoF signs, dist,
+    cpos, rel (= cpos - ref), active, imp, pos_err, b_gain, k_gain,
+    frame ((n, t1, t2) or None for the axis-aligned flat frame), mu,
+    invweight, adh, sensor.
+    """
+
+    def geom_world_frame(gi):
+        b_ = int(st.geom_body[gi])
+        gp = st.geom_pos[gi]
+        gq = st.geom_quat[gi]
+        gpos = _add3(
+            xpos[b_],
+            _qrot(
+                xquat[b_],
+                (_const(gp[0], z), _const(gp[1], z), _const(gp[2], z)),
+            ),
+        )
+        gquat = _qmul(
+            xquat[b_],
+            (
+                _const(gq[0], z),
+                _const(gq[1], z),
+                _const(gq[2], z),
+                _const(gq[3], z),
+            ),
+        )
+        return b_, gpos, _qrot(gquat, (z, z, one))
+
+    ng_rows = st.ncand - st.ncand_pair
+    gi = int(st.can_geom[cidx])
+    b, gpos, zax = geom_world_frame(gi)
+    radius = float(st.geom_size[gi, 0])
+    halflen = float(st.geom_size[gi, 1])
+    b2 = None
+    if cidx < ng_rows:
+        end = float(st.can_end[cidx])
+        ep = _add3(gpos, _scale3(zax, end * halflen))
+        if terrain is None:
+            # Flat ground: frame is axis-aligned (n = z, t1 = x, t2 = y).
+            dist = ep[2] - st.ground_z - radius
+            n_c = None
+            cpos = (ep[0], ep[1], ep[2] - (radius + 0.5 * dist))
+        else:
+            h_c, nx_c, ny_c, nz_c = terrain[cidx]
+            n_c = (nx_c, ny_c, nz_c)
+            # Same signed-distance form as contact_candidates.
+            dist = (ep[2] - h_c) * nz_c - radius
+            cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
+    else:
+        gi2 = int(st.can_geom2[cidx])
+        b2, gpos2, zax2 = geom_world_frame(gi2)
+        r2 = float(st.geom_size[gi2, 0])
+        h2 = float(st.geom_size[gi2, 1])
+        a0 = _sub3(gpos, _scale3(zax, halflen))
+        d1 = _scale3(zax, 2.0 * halflen)  # a1 - a0
+        b0 = _sub3(gpos2, _scale3(zax2, h2))
+        d2 = _scale3(zax2, 2.0 * h2)
+        r_ = _sub3(a0, b0)
+        a_q = _dot3(d1, d1)
+        e_q = _dot3(d2, d2)
+        f_q = _dot3(d2, r_)
+        c_q = _dot3(d1, r_)
+        b_q = _dot3(d1, d2)
+        denom = a_q * e_q - b_q * b_q
+        s_p = jnp.where(
+            denom > 1e-12,
+            jnp.clip(
+                (b_q * f_q - c_q * e_q) / jnp.maximum(denom, 1e-12),
+                0.0,
+                1.0,
+            ),
+            0.0,
+        )
+        t_p = jnp.where(
+            e_q > 1e-12,
+            (b_q * s_p + f_q) / jnp.maximum(e_q, 1e-12),
+            0.0,
+        )
+        t_p = jnp.clip(t_p, 0.0, 1.0)
+        s_p = jnp.where(
+            a_q > 1e-12,
+            jnp.clip(
+                (b_q * t_p - c_q) / jnp.maximum(a_q, 1e-12), 0.0, 1.0
+            ),
+            0.0,
+        )
+        c1 = _add3(a0, _scale3(d1, s_p))
+        c2 = _add3(b0, _scale3(d2, t_p))
+        dvec = _sub3(c1, c2)
+        dn = jnp.sqrt(jnp.maximum(_dot3(dvec, dvec), 1e-18))
+        ok = dn > 1e-9
+        n_c = (
+            jnp.where(ok, dvec[0] / dn, 0.0),
+            jnp.where(ok, dvec[1] / dn, 0.0),
+            jnp.where(ok, dvec[2] / dn, 1.0),
+        )
+        dist = dn - radius - r2
+        cpos = _sub3(c1, _scale3(n_c, radius + 0.5 * dist))
+    margin = float(st.can_margin[cidx])
+    active = dist < margin
+
+    # solref / solimp constraint dynamics.
+    solimp = st.can_solimp[cidx]
+    dmin, dmax, width, mid, power = (float(x) for x in solimp)
+    pos_err = jnp.minimum(dist - margin, 0.0)
+    x_ = jnp.clip(jnp.abs(pos_err) / max(width, 1e-12), 0.0, 1.0)
+    a_c = 1.0 / mid ** (power - 1.0)
+    b_c = 1.0 / (1.0 - mid) ** (power - 1.0)
+    y_ = jnp.where(x_ < mid, a_c * x_**power, 1.0 - b_c * (1.0 - x_) ** power)
+    imp = jnp.clip(dmin + y_ * (dmax - dmin), 1e-4, 0.9999)
+    tc, dr = float(st.can_solref[cidx][0]), float(st.can_solref[cidx][1])
+    b_gain = 2.0 / (dmax * tc)
+    k_gain = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+
+    # Contact frame rows [n, t1, t2] (port of _contact_frames).
+    if n_c is not None:
+        use_ey = jnp.abs(n_c[0]) > 0.9
+        seed = (jnp.where(use_ey, 0.0, 1.0), jnp.where(use_ey, 1.0, 0.0), z)
+        sn = _dot3(seed, n_c)
+        t1 = _sub3(seed, _scale3(n_c, sn))
+        t1n = jnp.maximum(jnp.sqrt(_dot3(t1, t1)), 1e-12)
+        t1 = _scale3(t1, 1.0 / t1n)
+        t2 = _cross(n_c, t1)
+        frame = (n_c, t1, t2)
+    else:
+        frame = None
+
+    # Two-body pair rows share the contact point: per-DoF sign is +1 when
+    # the DoF moves body1, -1 when it moves body2 (contact.py:_affects).
+    dof_signs = {d: 1.0 for d in st.body_path_dofs[b]}
+    if b2 is not None:
+        for d in st.body_path_dofs[b2]:
+            dof_signs[d] = dof_signs.get(d, 0.0) - 1.0
+    path = [d for d, sgn in dof_signs.items() if sgn != 0.0]
+    return dict(
+        body=b,
+        body2=b2,
+        path=path,
+        signs=dof_signs,
+        dist=dist,
+        cpos=cpos,
+        rel=_sub3(cpos, ref),
+        active=active,
+        imp=imp,
+        pos_err=pos_err,
+        b_gain=b_gain,
+        k_gain=k_gain,
+        frame=frame,
+        mu=tuple(float(x) for x in st.can_friction[cidx]),
+        invweight=float(st.can_invweight[cidx, 0]),
+        adh=int(st.can_adh_act[cidx]),
+        sensor=int(st.can_sensor[cidx]),
+    )
+
+
 def _emit_contacts(
     st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain=None
 ):
@@ -831,141 +1051,23 @@ def _emit_contacts(
         qacc = _tree_solve(st, Ld, dd, qfrc)
         return qacc, None, None
 
-    def geom_world_frame(gi):
-        b_ = int(st.geom_body[gi])
-        gp = st.geom_pos[gi]
-        gq = st.geom_quat[gi]
-        gpos = _add3(
-            xpos[b_],
-            _qrot(
-                xquat[b_],
-                (_const(gp[0], z), _const(gp[1], z), _const(gp[2], z)),
-            ),
-        )
-        gquat = _qmul(
-            xquat[b_],
-            (
-                _const(gq[0], z),
-                _const(gq[1], z),
-                _const(gq[2], z),
-                _const(gq[3], z),
-            ),
-        )
-        return b_, gpos, _qrot(gquat, (z, z, one))
-
     # ---- candidate geometry ----
-    # Rows [0, ncand - ncand_pair): capsule-end vs ground (flat plane or
-    # terrain local planes). Rows [ncand - ncand_pair, ncand):
-    # capsule-capsule fly-fly pairs (closest points between the two
-    # segments; normal from geom2 toward geom1 — lane port of
-    # contact.py:_segseg_closest / contact_candidates pair branch).
-    ng_rows = st.ncand - st.ncand_pair
     cons = []
     for cidx in range(st.ncand):
-        gi = int(st.can_geom[cidx])
-        b, gpos, zax = geom_world_frame(gi)
-        radius = float(st.geom_size[gi, 0])
-        halflen = float(st.geom_size[gi, 1])
-        b2 = None
-        if cidx < ng_rows:
-            end = float(st.can_end[cidx])
-            ep = _add3(gpos, _scale3(zax, end * halflen))
-            if terrain is None:
-                # Flat ground: frame is axis-aligned (n = z, t1 = x, t2 = y).
-                dist = ep[2] - st.ground_z - radius
-                n_c = None
-                cpos = (ep[0], ep[1], ep[2] - (radius + 0.5 * dist))
-            else:
-                h_c, nx_c, ny_c, nz_c = terrain[cidx]
-                n_c = (nx_c, ny_c, nz_c)
-                # Same signed-distance form as contact_candidates.
-                dist = (ep[2] - h_c) * nz_c - radius
-                cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
-        else:
-            gi2 = int(st.can_geom2[cidx])
-            b2, gpos2, zax2 = geom_world_frame(gi2)
-            r2 = float(st.geom_size[gi2, 0])
-            h2 = float(st.geom_size[gi2, 1])
-            a0 = _sub3(gpos, _scale3(zax, halflen))
-            d1 = _scale3(zax, 2.0 * halflen)  # a1 - a0
-            b0 = _sub3(gpos2, _scale3(zax2, h2))
-            d2 = _scale3(zax2, 2.0 * h2)
-            r_ = _sub3(a0, b0)
-            a_q = _dot3(d1, d1)
-            e_q = _dot3(d2, d2)
-            f_q = _dot3(d2, r_)
-            c_q = _dot3(d1, r_)
-            b_q = _dot3(d1, d2)
-            denom = a_q * e_q - b_q * b_q
-            s_p = jnp.where(
-                denom > 1e-12,
-                jnp.clip(
-                    (b_q * f_q - c_q * e_q) / jnp.maximum(denom, 1e-12),
-                    0.0,
-                    1.0,
-                ),
-                0.0,
-            )
-            t_p = jnp.where(
-                e_q > 1e-12,
-                (b_q * s_p + f_q) / jnp.maximum(e_q, 1e-12),
-                0.0,
-            )
-            t_p = jnp.clip(t_p, 0.0, 1.0)
-            s_p = jnp.where(
-                a_q > 1e-12,
-                jnp.clip(
-                    (b_q * t_p - c_q) / jnp.maximum(a_q, 1e-12), 0.0, 1.0
-                ),
-                0.0,
-            )
-            c1 = _add3(a0, _scale3(d1, s_p))
-            c2 = _add3(b0, _scale3(d2, t_p))
-            dvec = _sub3(c1, c2)
-            dn = jnp.sqrt(jnp.maximum(_dot3(dvec, dvec), 1e-18))
-            ok = dn > 1e-9
-            n_c = (
-                jnp.where(ok, dvec[0] / dn, 0.0),
-                jnp.where(ok, dvec[1] / dn, 0.0),
-                jnp.where(ok, dvec[2] / dn, 1.0),
-            )
-            dist = dn - radius - r2
-            cpos = _sub3(c1, _scale3(n_c, radius + 0.5 * dist))
-        margin = float(st.can_margin[cidx])
-        active = dist < margin
-
-        # solref / solimp constraint dynamics.
-        solimp = st.can_solimp[cidx]
-        dmin, dmax, width, mid, power = (float(x) for x in solimp)
-        pos_err = jnp.minimum(dist - margin, 0.0)
-        x_ = jnp.clip(jnp.abs(pos_err) / max(width, 1e-12), 0.0, 1.0)
-        a_c = 1.0 / mid ** (power - 1.0)
-        b_c = 1.0 / (1.0 - mid) ** (power - 1.0)
-        y_ = jnp.where(x_ < mid, a_c * x_**power, 1.0 - b_c * (1.0 - x_) ** power)
-        imp = jnp.clip(dmin + y_ * (dmax - dmin), 1e-4, 0.9999)
-        tc, dr = float(st.can_solref[cidx][0]), float(st.can_solref[cidx][1])
-        b_gain = 2.0 / (dmax * tc)
-        k_gain = 1.0 / (dmax * dmax * tc * tc * dr * dr)
-
-        # Contact frame rows [n, t1, t2] (port of _contact_frames).
-        if n_c is not None:
-            use_ey = jnp.abs(n_c[0]) > 0.9
-            seed = (jnp.where(use_ey, 0.0, 1.0), jnp.where(use_ey, 1.0, 0.0), z)
-            sn = _dot3(seed, n_c)
-            t1 = _sub3(seed, _scale3(n_c, sn))
-            t1n = jnp.maximum(jnp.sqrt(_dot3(t1, t1)), 1e-12)
-            t1 = _scale3(t1, 1.0 / t1n)
-            t2 = _cross(n_c, t1)
-
-        # Translational contact Jacobian rows on the path dofs. Two-body
-        # pair rows share the contact point: per-DoF sign is +1 when the
-        # DoF moves body1, -1 when it moves body2 (contact.py:_affects).
-        dof_signs = {d: 1.0 for d in st.body_path_dofs[b]}
-        if b2 is not None:
-            for d in st.body_path_dofs[b2]:
-                dof_signs[d] = dof_signs.get(d, 0.0) - 1.0
-        path = [d for d, sgn in dof_signs.items() if sgn != 0.0]
-        rel = _sub3(cpos, ref)
+        c = _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one)
+        b = c["body"]
+        dist = c["dist"]
+        cpos = c["cpos"]
+        active = c["active"]
+        imp = c["imp"]
+        pos_err = c["pos_err"]
+        b_gain = c["b_gain"]
+        k_gain = c["k_gain"]
+        frame = c["frame"]
+        n_c, t1, t2 = frame if frame is not None else (None, None, None)
+        dof_signs = c["signs"]
+        path = c["path"]
+        rel = c["rel"]
         Jn, Jt1, Jt2 = {}, {}, {}
         Jrn, Jrt1, Jrt2 = {}, {}, {}
         for d in path:
@@ -1005,11 +1107,11 @@ def _emit_contacts(
                 Jrn=Jrn,
                 Jrt1=Jrt1,
                 Jrt2=Jrt2,
-                frame=(n_c, t1, t2) if n_c is not None else None,
-                mu=tuple(float(x) for x in st.can_friction[cidx]),
-                invweight=float(st.can_invweight[cidx, 0]),
-                adh=int(st.can_adh_act[cidx]),
-                sensor=int(st.can_sensor[cidx]),
+                frame=frame,
+                mu=c["mu"],
+                invweight=c["invweight"],
+                adh=c["adh"],
+                sensor=c["sensor"],
             )
         )
 
@@ -1192,6 +1294,326 @@ def _emit_contacts(
 
     qacc = a_vec
     return qacc, lam, cons
+
+
+def _emit_contacts_stream(
+    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain=None
+):
+    """Contact solve with a STREAMED (low-live-set) row representation.
+
+    Mathematically identical to :func:`_emit_contacts` (same rows, same
+    Hessian, same Newton/line-search schedule — only the evaluation order
+    differs, so results match to fp reassociation). The fused emitter
+    materializes every per-row Jacobian entry (ncand x nrows x |path| lane
+    values live through the whole Newton solve); past ~60 MiB of Mosaic
+    value stack the kernel falls off a measured performance cliff
+    (~9M -> ~15k world-steps/s: every op becomes a dependent VMEM
+    load-op-store chain). This variant stores only per-candidate scalars
+    (contact frame, rel offset, D, aref) and RECOMPUTES the per-DoF
+    Jacobian components jp_d = S_v[d] + S_w[d] x rel from the motion
+    subspace at each use — ~1.6x the vector ops, but the live set stays
+    small and the kernel stays issue-bound. Selected for big models via
+    ``_Static.stream`` (see :func:`_est_scoped_mb`).
+    """
+    nv = st.nv
+
+    def key(a_, b_):
+        # Same tree-pair canonicalization as _emit_contacts (cross-tree
+        # fill-in dropped).
+        if a_ == b_:
+            return (a_, b_)
+        if a_ in st.dof_chains[b_]:
+            return (a_, b_)
+        if b_ in st.dof_chains[a_]:
+            return (b_, a_)
+        return None
+
+    if st.ncand == 0:
+        Ld, dd = _tree_ldl(st, Mh, z)
+        qacc = _tree_solve(st, Ld, dd, qfrc)
+        return qacc, None, None
+
+    cons = [
+        _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one)
+        for cidx in range(st.ncand)
+    ]
+
+    # Friction-direction tags per condim; rows are [n] (condim 1) or
+    # [(tag, +1), (tag, -1) for tag in tags] — identical order to the
+    # fused emitter's pyramid rows.
+    if st.condim == 1:
+        tags = []
+    elif st.condim == 3:
+        tags = ["t1", "t2"]
+    elif st.condim == 4:
+        tags = ["t1", "t2", "rn"]
+    else:
+        tags = ["t1", "t2", "rn", "rt1", "rt2"]
+
+    def mu_of(c, tag):
+        return c["mu"][0] if tag in ("t1", "t2") else (
+            c["mu"][1] if tag == "rn" else c["mu"][2]
+        )
+
+    for c in cons:
+        R_ = (1.0 - c["imp"]) / c["imp"] * max(c["invweight"], 1e-12)
+        c["D"] = jnp.where(c["active"], 1.0 / jnp.maximum(R_, 1e-12), 0.0)
+
+    # ---- adhesion split over active candidates (as in _emit_contacts) ----
+    qfrc = list(qfrc)
+    for u, group in st.adh_groups.items():
+        gain = float(st.act_gain[u])
+        total = gain * c_clamped[u]
+        count = z
+        for ci in group:
+            count = count + jnp.where(cons[ci]["active"], 1.0, 0.0)
+        per = total / jnp.maximum(count, 1.0)
+        for ci in group:
+            cons[ci]["adh_force"] = jnp.where(cons[ci]["active"], per, 0.0)
+    for c in cons:
+        c.setdefault("adh_force", z)
+
+    def dof_components(c):
+        """Recompute per-DoF Jacobian direction components for candidate c.
+
+        Returns dict tag -> list of lane vectors aligned with c["path"];
+        tags "n","t1","t2" dot jp_d = S_v[d] + S_w[d] x rel into the
+        contact frame, rotational tags dot S_w[d]. The flat frame picks
+        components directly (n = z, t1 = x, t2 = y).
+        """
+        frame = c["frame"]
+        rel = c["rel"]
+        comps = {t: [] for t in ["n"] + tags}
+        for d in c["path"]:
+            w_, v_ = S[d]
+            jp = _add3(v_, _cross(w_, rel))
+            sgn = c["signs"][d]
+            if sgn != 1.0:
+                jp = _scale3(jp, sgn)
+                if st.condim > 3:
+                    w_ = _scale3(w_, sgn)
+            if frame is None:
+                comps["n"].append(jp[2])
+                if st.condim >= 3:
+                    comps["t1"].append(jp[0])
+                    comps["t2"].append(jp[1])
+                if st.condim > 3:
+                    comps["rn"].append(w_[2])
+                if st.condim == 6:
+                    comps["rt1"].append(w_[0])
+                    comps["rt2"].append(w_[1])
+            else:
+                n_c, t1, t2 = frame
+                comps["n"].append(_dot3(jp, n_c))
+                if st.condim >= 3:
+                    comps["t1"].append(_dot3(jp, t1))
+                    comps["t2"].append(_dot3(jp, t2))
+                if st.condim > 3:
+                    comps["rn"].append(_dot3(w_, n_c))
+                if st.condim == 6:
+                    comps["rt1"].append(_dot3(w_, t1))
+                    comps["rt2"].append(_dot3(w_, t2))
+        return comps
+
+    def products(c, comps, vec):
+        """J_dir · vec for each direction, as lane scalars."""
+        out = {}
+        for t, col in comps.items():
+            s_ = z
+            for i, d in enumerate(c["path"]):
+                s_ = s_ + col[i] * vec[d]
+            out[t] = s_
+        return out
+
+    def row_combos(c, p):
+        """Per-row scalar J_row·vec from per-direction products p."""
+        if st.condim == 1:
+            return [p["n"]]
+        out = []
+        for t in tags:
+            mu = mu_of(c, t)
+            out.append(p["n"] + mu * p[t])
+            out.append(p["n"] - mu * p[t])
+        return out
+
+    def jar_grad_pass(c, a_vec, grad_con, with_hessian=None, with_aref=False):
+        """One streamed pass over candidate c at iterate a_vec.
+
+        Computes jar rows (stored on c["jar_cur"]), accumulates the
+        contact gradient contribution into grad_con, and optionally (first
+        pass) the Hessian fill into with_hessian, aref rows, and the
+        adhesion qfrc projection.
+        """
+        comps = dof_components(c)
+        if with_aref:
+            pv = products(c, comps, v)
+            vel_rows = row_combos(c, pv)
+            krow = c["k_gain"]
+            c["aref"] = [
+                -c["b_gain"] * vel - krow * c["imp"] * c["pos_err"]
+                for vel in vel_rows
+            ]
+            # Adhesion as applied generalized force along the normal rows.
+            adh = c["adh_force"]
+            for i, d in enumerate(c["path"]):
+                qfrc[d] = qfrc[d] - adh * comps["n"][i]
+        pa = products(c, comps, a_vec)
+        jrows = row_combos(c, pa)
+        jars = [jr - ar for jr, ar in zip(jrows, c["aref"])]
+        c["jar_cur"] = jars
+        D_ = c["D"]
+        wk = [D_ * jnp.where(jr < 0.0, 1.0, 0.0) * jr for jr in jars]
+        # grad contribution: J^T Σ_rows wk_r, folded per direction.
+        if st.condim == 1:
+            coef = {"n": wk[0]}
+        else:
+            coef_n = z
+            for w_ in wk:
+                coef_n = coef_n + w_
+            coef = {"n": coef_n}
+            for ti, t in enumerate(tags):
+                coef[t] = mu_of(c, t) * (wk[2 * ti] - wk[2 * ti + 1])
+        for i, d in enumerate(c["path"]):
+            g = z
+            for t, cf in coef.items():
+                g = g + cf * comps[t][i]
+            grad_con[d] = grad_con[d] + g
+        if with_hessian is not None:
+            H = with_hessian
+            wa = [D_ * jnp.where(jr < 0.0, 1.0, 0.0) for jr in jars]
+            if st.condim == 1:
+                W = wa[0]
+                Bt = Wt = {}
+            else:
+                W = z
+                for w_ in wa:
+                    W = W + w_
+                Bt, Wt = {}, {}
+                for ti, t in enumerate(tags):
+                    mu = mu_of(c, t)
+                    Bt[t] = mu * (wa[2 * ti] - wa[2 * ti + 1])
+                    Wt[t] = mu * mu * (wa[2 * ti] + wa[2 * ti + 1])
+            path = c["path"]
+            for i_ in range(len(path)):
+                for j_ in range(i_, len(path)):
+                    k = key(path[i_], path[j_])
+                    if k is None:  # cross-tree fill-in: dropped
+                        continue
+                    ni, nj = comps["n"][i_], comps["n"][j_]
+                    val = W * ni * nj
+                    for t in tags:
+                        di, dj = comps[t][i_], comps[t][j_]
+                        val = val + Bt[t] * (ni * dj + di * nj) + Wt[t] * di * dj
+                    H[k] = H[k] + val
+        return comps
+
+    def Mh_mul(a_vec):
+        out = [None] * nv
+        for d in range(nv):
+            out[d] = Mh[(d, d)] * a_vec[d]
+        for (a_, b_) in st.pair_keys:
+            if a_ == b_:
+                continue
+            val = Mh[(a_, b_)]
+            out[b_] = out[b_] + val * a_vec[a_]
+            out[a_] = out[a_] + val * a_vec[b_]
+        return out
+
+    # ---- first pass: aref + adhesion + jars/grad at warm + Hessian ----
+    a_vec = list(warm)
+    H = dict(Mh)
+    grad_con = [z] * nv
+    for c in cons:
+        jar_grad_pass(c, a_vec, grad_con, with_hessian=H, with_aref=True)
+    for d in range(nv):
+        H[(d, d)] = H[(d, d)] + 1e-9
+    Ld, dd = _tree_ldl(st, H, z)
+
+    # ---- Newton refinements with grid line search (same schedule as the
+    # fused emitter) ----
+    for it in range(max(st.solver_iterations, 1)):
+        if it > 0:
+            grad_con = [z] * nv
+            for c in cons:
+                jar_grad_pass(c, a_vec, grad_con)
+        grad = Mh_mul(a_vec)
+        for d in range(nv):
+            grad[d] = grad[d] - qfrc[d] + grad_con[d]
+        delta = _tree_solve(st, Ld, dd, grad)
+        delta = [-x for x in delta]
+
+        Md = Mh_mul(delta)
+        dMd = z
+        gMd = z
+        for d in range(nv):
+            dMd = dMd + delta[d] * Md[d]
+            gMd = gMd + a_vec[d] * Md[d] - qfrc[d] * delta[d]
+        for c in cons:
+            comps = dof_components(c)
+            c["jd_cur"] = row_combos(c, products(c, comps, delta))
+        # Grid line search: φ'(α) at static candidate αs; interpolate root.
+        dphis = []
+        for alpha in _LS_ALPHAS:
+            s_ = gMd + alpha * dMd
+            for c in cons:
+                D_ = c["D"]
+                for jr, jd in zip(c["jar_cur"], c["jd_cur"]):
+                    ja = jr + alpha * jd
+                    s_ = s_ + jnp.where(ja < 0.0, D_ * ja * jd, 0.0)
+            dphis.append(s_)
+        negcount = z
+        for s_ in dphis:
+            negcount = negcount + jnp.where(s_ < 0.0, 1.0, 0.0)
+        alpha_sel = z
+        G = len(_LS_ALPHAS)
+        for i_ in range(G - 1):
+            lo, hi = _LS_ALPHAS[i_], _LS_ALPHAS[i_ + 1]
+            dlo, dhi = dphis[i_], dphis[i_ + 1]
+            t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
+            cand = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
+            idx_is = jnp.where(negcount - 1.0 == float(i_), 1.0, 0.0)
+            alpha_sel = alpha_sel + idx_is * cand
+        lo, hi = _LS_ALPHAS[G - 2], _LS_ALPHAS[G - 1]
+        dlo, dhi = dphis[G - 2], dphis[G - 1]
+        t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
+        cand = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
+        alpha_sel = alpha_sel + jnp.where(
+            negcount - 1.0 >= float(G - 1), 1.0, 0.0
+        ) * cand
+        a_vec = [a_vec[d] + alpha_sel * delta[d] for d in range(nv)]
+
+    # ---- final jars → per-row forces → per-contact frame forces ----
+    for c in cons:
+        comps = dof_components(c)
+        pa = products(c, comps, a_vec)
+        jars = [jr - ar for jr, ar in zip(row_combos(c, pa), c["aref"])]
+        D_ = c["D"]
+        lam_c = [
+            jnp.maximum(-D_ * jnp.where(jr < 0.0, 1.0, 0.0) * jr, 0.0)
+            for jr in jars
+        ]
+        fn = z
+        for l_ in lam_c:
+            fn = fn + l_
+        if st.condim >= 3:
+            mu_s = c["mu"][0]
+            ft1 = mu_s * (lam_c[0] - lam_c[1])
+            ft2 = mu_s * (lam_c[2] - lam_c[3])
+        else:
+            ft1 = ft2 = z
+        act_m = jnp.where(c["active"], 1.0, 0.0)
+        c["f_frame"] = (fn * act_m, ft1 * act_m, ft2 * act_m)
+        if c["frame"] is None:
+            c["f_world"] = (ft1 * act_m, ft2 * act_m, fn * act_m)
+        else:
+            n_f, t1_f, t2_f = c["frame"]
+            fw = tuple(
+                fn * n_f[i] + ft1 * t1_f[i] + ft2 * t2_f[i] for i in range(3)
+            )
+            c["f_world"] = tuple(f * act_m for f in fw)
+
+    qacc = a_vec
+    return qacc, None, cons
 
 
 def _tree_ldl(st, A, z):
@@ -1480,7 +1902,13 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     # value stack + block I/O needs (plus headroom), instead of a global
     # LIBTPU flag sized for the biggest supported model — a limit raised
     # for a two-fly kernel measurably slows the single-fly one.
-    vmem_limit_bytes = int(min(127.0, _est_scoped_mb(model) + 8.0) * 2**20)
+    est_mb = _est_stream_mb(model) if st.stream else _est_scoped_mb(model)
+    vmem_limit_bytes = int(min(127.0, est_mb + 8.0) * 2**20)
+    # Calibration override: compiling with a too-small limit makes Mosaic
+    # report the kernel's ACTUAL scoped-VMEM requirement in the error.
+    _ovr = __import__("os").environ.get("FLYGYM_TPU_MEGASTEP_VMEM_MB")
+    if _ovr:
+        vmem_limit_bytes = int(float(_ovr) * 2**20)
 
     def megastep(state, terrain_planes=None):
         from jax.experimental import pallas as pl

@@ -459,48 +459,49 @@ class TestTerrainResampleChunking:
         )
 
 
+@pytest.fixture(scope="module")
+def stacked():
+    from flygym_tpu.anatomy import ContactBodiesPreset
+
+    def mkfly(name):
+        fly = Fly(name=name)
+        fly.add_joints(
+            Skeleton(
+                axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY
+            ),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_leg_adhesion()
+        return fly
+
+    world = FlatGroundWorld()
+    world.add_fly(mkfly("lo"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+    world.add_fly(mkfly("hi"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+    # Narrow pair set (body trunks only) so the kernel stays below its
+    # candidate budget; the jnp path uses the same table.
+    segs = [
+        s
+        for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
+        if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
+    ]
+    n = world.add_fly_fly_contacts("lo", "hi", bodysegs=segs)
+    assert n > 0
+    model, state0 = world.compile()
+    from flygym_tpu.ops.megastep import megastep_supported
+
+    assert model.ncand_pair == n
+    assert megastep_supported(model), model.ncand
+    # Drop "hi" onto "lo" so pair rows are ACTIVE in the settled state.
+    ctrl = jnp.zeros((model.nu,), jnp.float32)
+    bstate = _batched_state(model, state0, n_steps=250, ctrl=ctrl)
+    return model, bstate
+
+
 class TestPairRowsMatchEngine:
     """Fly-fly capsule-capsule pair rows in the kernel emitter: a fly
     dropped onto another must produce the same constrained step as the jnp
     path (which builds the identical candidate table, then top-K-compresses
     — agreement requires active contacts <= ncon, true here)."""
-
-    @pytest.fixture(scope="class")
-    def stacked(self):
-        from flygym_tpu.anatomy import ContactBodiesPreset
-
-        def mkfly(name):
-            fly = Fly(name=name)
-            fly.add_joints(
-                Skeleton(
-                    axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY
-                ),
-                neutral_pose=KinematicPosePreset.NEUTRAL,
-            )
-            fly.add_leg_adhesion()
-            return fly
-
-        world = FlatGroundWorld()
-        world.add_fly(mkfly("lo"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
-        world.add_fly(mkfly("hi"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
-        # Narrow pair set (body trunks only) so the kernel stays below its
-        # candidate budget; the jnp path uses the same table.
-        segs = [
-            s
-            for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
-            if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
-        ]
-        n = world.add_fly_fly_contacts("lo", "hi", bodysegs=segs)
-        assert n > 0
-        model, state0 = world.compile()
-        from flygym_tpu.ops.megastep import megastep_supported
-
-        assert model.ncand_pair == n
-        assert megastep_supported(model), model.ncand
-        # Drop "hi" onto "lo" so pair rows are ACTIVE in the settled state.
-        ctrl = jnp.zeros((model.nu,), jnp.float32)
-        bstate = _batched_state(model, state0, n_steps=250, ctrl=ctrl)
-        return model, bstate
 
     def test_emitter_matches_jnp_step_with_pair_contacts(self, stacked):
         model, bstate = stacked
@@ -528,3 +529,63 @@ class TestPairRowsMatchEngine:
         hi_qadr = model.free_joints[1][1]
         z_hi = float(bstate.qpos[0, hi_qadr + 2])
         assert z_hi > z_lo + 0.4, (z_lo, z_hi)
+
+
+class TestStreamingContactEmitter:
+    """The streaming contact emitter (_emit_contacts_stream) is the same
+    math as the fused one in a different evaluation order — big models
+    (est > STREAM_ABOVE_MB of Mosaic value stack) use it to stay under the
+    measured spill cliff. Outputs must agree to fp-reassociation noise."""
+
+    def _run(self, model, bstate, stream):
+        st = ms._Static(model)
+        st.stream = stream
+
+        def cols(x):
+            return [x[:, i] for i in range(x.shape[1])]
+
+        return ms.emit_step(
+            st,
+            cols(bstate.qpos),
+            cols(bstate.qvel),
+            cols(bstate.ctrl),
+            cols(bstate.act),
+            cols(bstate.qacc),
+        )
+
+    def _assert_match(self, rf, rs, model):
+        for k in ["qpos", "qvel", "qacc", "actuator_force"]:
+            if not rf[k]:
+                continue
+            a, b = np.asarray(jnp.stack(rf[k])), np.asarray(jnp.stack(rs[k]))
+            scale = max(np.abs(a).max(), 1e-9)
+            np.testing.assert_allclose(b, a, atol=1e-4 * scale, err_msg=k)
+        sf = np.asarray([[np.asarray(x) for x in row] for row in rf["sensordata"]])
+        ss = np.asarray([[np.asarray(x) for x in row] for row in rs["sensordata"]])
+        np.testing.assert_allclose(
+            ss, sf, atol=1e-3 * max(np.abs(sf).max(), 1.0), err_msg="sensordata"
+        )
+
+    def test_matches_fused_single_fly(self, settled):
+        model, bstate = settled
+        self._assert_match(
+            self._run(model, bstate, False), self._run(model, bstate, True), model
+        )
+
+    def test_matches_fused_with_pair_rows(self, stacked):
+        model, bstate = stacked
+        self._assert_match(
+            self._run(model, bstate, False), self._run(model, bstate, True), model
+        )
+
+    def test_stream_mode_selection(self, stacked, monkeypatch):
+        small_model, _ = _world().compile()
+        # Default: fused everywhere (streaming measured no better on TPU).
+        assert not ms._stream_mode(small_model)
+        assert not ms._stream_mode(stacked[0])
+        # auto: est-based selection; 1: forced on.
+        monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_STREAM", "auto")
+        assert not ms._stream_mode(small_model)
+        assert ms._stream_mode(stacked[0])
+        monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_STREAM", "1")
+        assert ms._stream_mode(small_model)
