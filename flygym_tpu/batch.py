@@ -182,6 +182,12 @@ class BatchSimulation(Simulation):
     ):
         """Scan ``n_steps`` for all worlds in one XLA program.
 
+        ``n_steps`` is a static jit argument: EVERY DISTINCT VALUE compiles
+        its own episode program (1-3 min over a remote-TPU tunnel, cached
+        thereafter). For timing or repeated rollouts, reuse one fixed
+        ``n_steps`` — a warmup call with a different count does NOT warm
+        the cache entry your timed call needs.
+
         Args:
             ctrl_sequence: (n_steps, n_worlds, nu) in model order, or None.
 

@@ -97,12 +97,15 @@ def _est_scoped_mb(model) -> float:
     return stack + io
 
 
-# Fused-estimate threshold above which the kernel switches to the
-# streaming contact emitter (_emit_contacts_stream). Measured cliff: at
-# est 51-59 MiB the fused kernel is issue-bound (~9M world-steps/s on one
-# v5e); at est 76+ it collapses to ~15k (every op becomes a dependent
-# VMEM load-op-store chain). Streaming trades ~1.6x vector ops for a
-# halved live set.
+# Fused-estimate threshold above which FLYGYM_TPU_MEGASTEP_STREAM=auto
+# switches to the streaming contact emitter (_emit_contacts_stream).
+# NOTE: an apparent "model-size performance cliff" that motivated the
+# streaming variant turned out to be a measurement artifact (the timed
+# rollout was compiling — rollout's n_steps is a static jit arg; see
+# ROADMAP.md). Correctly measured, the fused kernel is fast for every
+# supported model (ALL_BIOLOGICAL ~6M world-steps/s at 4096 worlds), so
+# the default is fused everywhere and streaming is an opt-in that only
+# trades ~1.2x vector ops for a smaller Mosaic value stack.
 STREAM_ABOVE_MB = 60.0
 
 
@@ -129,12 +132,10 @@ def _est_stream_mb(model) -> float:
 def _stream_mode(model) -> bool:
     """Whether the kernel should use the streaming contact emitter.
 
-    Measured so far (one v5e, 4096 worlds): streaming does NOT lift the
-    big-model cliff (ALL_BIOLOGICAL 11.6k streamed vs 19.5k fused;
-    two-fly 25.5k vs 34.7k) — the collapse is not (only) the contact
-    J-row live set. Default is therefore the fused emitter everywhere;
-    FLYGYM_TPU_MEGASTEP_STREAM=1 opts in (=auto restores est-based
-    selection for experiments).
+    Default: fused everywhere (fast for every supported model once
+    measured correctly — see STREAM_ABOVE_MB note).
+    FLYGYM_TPU_MEGASTEP_STREAM=1 forces streaming; =auto selects it for
+    models whose fused value-stack estimate exceeds STREAM_ABOVE_MB.
     """
     import os
 
@@ -1305,15 +1306,13 @@ def _emit_contacts_stream(
     Hessian, same Newton/line-search schedule — only the evaluation order
     differs, so results match to fp reassociation). The fused emitter
     materializes every per-row Jacobian entry (ncand x nrows x |path| lane
-    values live through the whole Newton solve); past ~60 MiB of Mosaic
-    value stack the kernel falls off a measured performance cliff
-    (~9M -> ~15k world-steps/s: every op becomes a dependent VMEM
-    load-op-store chain). This variant stores only per-candidate scalars
-    (contact frame, rel offset, D, aref) and RECOMPUTES the per-DoF
-    Jacobian components jp_d = S_v[d] + S_w[d] x rel from the motion
-    subspace at each use — ~1.6x the vector ops, but the live set stays
-    small and the kernel stays issue-bound. Selected for big models via
-    ``_Static.stream`` (see :func:`_est_scoped_mb`).
+    values live through the whole Newton solve); this variant stores only
+    per-candidate scalars (contact frame, rel offset, D, aref) and
+    RECOMPUTES the per-DoF Jacobian components
+    jp_d = S_v[d] + S_w[d] x rel from the motion subspace at each use —
+    ~1.2x the emitted ops for a much smaller Mosaic value stack. Opt-in
+    via ``_Static.stream`` (FLYGYM_TPU_MEGASTEP_STREAM); useful when a
+    model's fused stack estimate approaches the VMEM ceiling.
     """
     nv = st.nv
 
