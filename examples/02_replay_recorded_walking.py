@@ -43,8 +43,12 @@ def main():
     end = np.asarray(sim.state.qpos[0, :3])
     print(f"fly moved from {np.round(start, 2)} to {np.round(end, 2)} mm")
 
-    # Render a short clip of the walk.
-    renderer = sim.set_renderer(cam, camera_res=(240, 320), world_ids=[0])
+    # Render the final pose at mesh fidelity: the capsule broad-phase hits
+    # are refined against the true anatomical mesh SDFs (thin wing
+    # membranes, real head/thorax silhouettes — render/sdf.py).
+    renderer = sim.set_renderer(
+        cam, camera_res=(240, 320), world_ids=[0], mesh_fidelity=True
+    )
     renderer.render(sim.state)
     renderer.save_video("/tmp/replay_final_frame.mp4")
     print("wrote /tmp/replay_final_frame.mp4 (or .gif fallback)")

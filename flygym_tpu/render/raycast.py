@@ -261,6 +261,35 @@ def _nearest_capsule_hit(p0, p1, radius, capsule_mask, origins, directions):
     return t_geom, idx_geom
 
 
+def _second_capsule_hit(
+    p0, p1, radius, capsule_mask, origins, directions, exclude_idx
+):
+    """Nearest capsule hit per ray EXCLUDING one geom index per ray."""
+    R = origins.shape[0]
+    CHUNK = 8
+    t_geom = jnp.full((R,), _BIG, origins.dtype)
+    idx_geom = jnp.zeros((R,), jnp.int32)
+    ngeom = p0.shape[0]
+    for c0 in range(0, ngeom, CHUNK):
+        c1 = min(c0 + CHUNK, ngeom)
+        t_c, _ = _ray_capsule(
+            origins[:, None, :],
+            directions[:, None, :],
+            p0[None, c0:c1, :],
+            p1[None, c0:c1, :],
+            radius[None, c0:c1],
+        )
+        t_c = jnp.where(capsule_mask[None, c0:c1] > 0, t_c, _BIG)
+        gids = jnp.arange(c0, c1, dtype=jnp.int32)
+        t_c = jnp.where(gids[None, :] == exclude_idx[:, None], _BIG, t_c)
+        c_min = jnp.min(t_c, axis=1)
+        c_arg = jnp.argmin(t_c, axis=1).astype(jnp.int32) + c0
+        better = c_min < t_geom
+        t_geom = jnp.where(better, c_min, t_geom)
+        idx_geom = jnp.where(better, c_arg, idx_geom)
+    return t_geom, idx_geom
+
+
 def raycast_scene(
     model: PhysicsModel,
     gpos: jnp.ndarray,
@@ -268,6 +297,7 @@ def raycast_scene(
     origins: jnp.ndarray,
     directions: jnp.ndarray,
     capsule_mask: jnp.ndarray,
+    sdf_pack=None,
 ):
     """Nearest-hit raycast against all capsule geoms + the ground plane.
 
@@ -275,6 +305,10 @@ def raycast_scene(
         gpos/gquat: (ngeom, 3/4) world geom poses.
         origins/directions: (R, 3) rays.
         capsule_mask: (ngeom,) 1.0 for geoms to render as capsules.
+        sdf_pack: optional mesh-SDF tables (render/sdf.py). When given,
+            capsule hits become a broad phase and the true anatomical mesh
+            surfaces are sphere-traced for exact silhouettes + normals
+            (the reference's MuJoCo-GL / Warp-BVH mesh fidelity).
 
     Returns:
         t: (R,) hit distance (inf for sky).
@@ -285,6 +319,33 @@ def raycast_scene(
     t_geom, idx_geom = _nearest_capsule_hit(
         p0, p1, radius, capsule_mask, origins, directions
     )
+
+    mesh_hit = None
+    if sdf_pack is not None:
+        from flygym_tpu.render.sdf import sdf_refine
+
+        idx1 = jnp.where(t_geom < _BIG, idx_geom, -2)
+        t2, idx2_raw = _second_capsule_hit(
+            p0, p1, radius, capsule_mask, origins, directions, idx1
+        )
+        idx2 = jnp.where(t2 < _BIG, idx2_raw, -2)
+        t_mesh, idx_mesh, n_mesh, mesh_hit = sdf_refine(
+            sdf_pack,
+            model,
+            gpos,
+            gquat,
+            origins,
+            directions,
+            [t_geom, t2],
+            [idx1, idx2],
+        )
+        # Candidate geoms that carry an SDF defer entirely to the mesh
+        # result; geoms without one keep their capsule hit.
+        refined = sdf_pack["base"][jnp.maximum(idx1, 0)] >= 0
+        t_geom = jnp.where(
+            mesh_hit, t_mesh, jnp.where(refined, _BIG, t_geom)
+        )
+        idx_geom = jnp.where(mesh_hit, idx_mesh, idx_geom)
 
     if model.has_hfield:
         t_plane, n_ground = _ray_heightfield(model, origins, directions)
@@ -312,6 +373,8 @@ def raycast_scene(
     n_caps = n_caps / jnp.maximum(
         jnp.linalg.norm(n_caps, axis=-1, keepdims=True), 1e-12
     )
+    if mesh_hit is not None:
+        n_caps = jnp.where(mesh_hit[:, None], n_mesh, n_caps)
     normal = jnp.where((geom_idx >= 0)[:, None], n_caps, n_ground)
     return t, geom_idx, normal
 
@@ -327,6 +390,7 @@ def render_pixels(
     fovy_deg: float,
     capsule_mask: jnp.ndarray,
     checker_period: float = 1.0,
+    sdf_pack=None,
 ):
     """Render one RGB frame (H, W, 3) float in [0, 1].
 
@@ -343,7 +407,7 @@ def render_pixels(
     origins = jnp.broadcast_to(cam_pos, dirs.shape)
 
     t, geom_idx, normal = raycast_scene(
-        model, gpos, gquat, origins, dirs, capsule_mask
+        model, gpos, gquat, origins, dirs, capsule_mask, sdf_pack=sdf_pack
     )
 
     hit_p = origins + t[:, None] * dirs

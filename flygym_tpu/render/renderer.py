@@ -50,6 +50,7 @@ class Renderer:
         output_fps: int = 25,
         buffer_frames: bool = True,
         world_ids: Sequence[int] | None = None,
+        mesh_fidelity: bool = False,
         **kwargs: Any,
     ) -> None:
         self.model = model
@@ -70,6 +71,28 @@ class Renderer:
             [1.0 if t in ("capsule", "sphere") else 0.0 for t in model.geom_types], np.float32
         )
         self._capsule_mask = jnp.asarray(capsule_mask)
+
+        # Mesh-fidelity mode: sphere-trace the true anatomical mesh SDFs
+        # on top of the capsule broad-phase (render/sdf.py; the analog of
+        # the reference's MuJoCo-GL mesh rendering). Requires the
+        # sdf_meshes.npz asset and the compile-time geom name map.
+        self._sdf_pack = None
+        if mesh_fidelity:
+            from flygym_tpu.render.sdf import build_sdf_pack
+
+            compiled = getattr(world, "compiled", None)
+            if compiled is None:
+                raise ValueError(
+                    "mesh_fidelity=True needs a compiled world "
+                    "(call world.compile() first)."
+                )
+            self._sdf_pack = build_sdf_pack(model, compiled.geom_name2id)
+            if self._sdf_pack is None:
+                raise FileNotFoundError(
+                    "sdf_meshes.npz asset not found — run "
+                    "scripts/dev/derive_sdf_assets.py to bake the mesh "
+                    "SDF grids."
+                )
         self._render_fn = jax.jit(self._render_one_camera, static_argnums=(0,))
         # One device call renders all selected worlds (the reference's GPU
         # batch renderer semantics, ``warp/rendering.py:279-341``) instead
@@ -153,6 +176,7 @@ class Renderer:
             w,
             cam.fovy,
             self._capsule_mask,
+            sdf_pack=self._sdf_pack,
         )
 
     # -- public API --------------------------------------------------------

@@ -296,3 +296,57 @@ class TestHeightfieldRaycast:
         # scale (block edges produce dark/bright seams).
         ground = frame[30:, :].astype(np.float32)
         assert ground.std() > 5
+
+
+class TestMeshFidelity:
+    """SDF mesh refinement (render/sdf.py): the true anatomical surfaces
+    replace the capsule proxies when mesh_fidelity=True (the analog of the
+    reference's MuJoCo-GL mesh rendering, ``rendering.py:16-268``)."""
+
+    @pytest.fixture(scope="class")
+    def settled(self, world):
+        sim = flygym_tpu.Simulation(world)
+        sim.warmup()
+        return sim
+
+    def test_sdf_pack_covers_fly_geoms(self, world):
+        from flygym_tpu.render.sdf import build_sdf_pack
+
+        model, _ = world.compile()
+        pack = build_sdf_pack(model, world.compiled.geom_name2id)
+        if pack is None:
+            pytest.skip("sdf_meshes.npz asset not present")
+        base = np.asarray(pack["base"])
+        # Every capsule/sphere fly geom has a baked SDF; the ground has none.
+        fly_geoms = [
+            g
+            for g, t in enumerate(model.geom_types)
+            if t in ("capsule", "sphere")
+        ]
+        assert all(base[g] >= 0 for g in fly_geoms)
+        plane = [g for g, t in enumerate(model.geom_types) if t == "plane"]
+        assert all(base[g] < 0 for g in plane)
+
+    def test_mesh_render_differs_from_capsules(self, world, settled):
+        from flygym_tpu.render.renderer import Renderer
+
+        frames = {}
+        for mesh in (False, True):
+            r = Renderer(
+                settled.model,
+                world,
+                "trackcam",
+                camera_res=(60, 80),
+                mesh_fidelity=mesh,
+            )
+            frames[mesh] = np.asarray(
+                r._render_one_camera(0, settled.state)
+            )
+        for f in frames.values():
+            assert f.shape == (60, 80, 3)
+            assert np.isfinite(f).all()
+            assert 0.15 < f.mean() < 0.85
+        # The true mesh silhhouette differs from the capsule hulls on a
+        # meaningful fraction of pixels (wings become thin membranes).
+        diff = np.abs(frames[True] - frames[False]).max(axis=-1) > 0.05
+        assert 0.01 < diff.mean() < 0.6, diff.mean()
