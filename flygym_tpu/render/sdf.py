@@ -19,6 +19,7 @@ SDF-gradient normals.
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -157,16 +158,31 @@ def _march_one(pack, model, gpos, gquat, origins, dirs, t_cap, geom):
     eps = HIT_EPS_VOX * spacing
     min_step = 0.35 * spacing
 
-    t = t0
-    hit = jnp.zeros(t.shape, bool)
-    t_hit = jnp.full(t.shape, _BIG, t.dtype)
-    for _ in range(N_MARCH):
+    # Rolled loop (lax.fori_loop), NOT a Python unroll: 40 march steps x
+    # 8 gathers per trilinear sample per candidate makes the unrolled XLA
+    # graph large enough that the CPU backend's compile takes minutes
+    # (the hang the batched-render test exposed); the rolled form keeps
+    # the program constant-size at identical numerics.
+    def _march_step(_, carry):
+        t, hit, t_hit = carry
         p = o_l + t[..., None] * d_l
         s = _sample(pack, base, dims, origin, spacing, p)
         new_hit = has & ~hit & (s < eps) & (t <= t1)
         t_hit = jnp.where(new_hit, t, t_hit)
         hit = hit | new_hit
         t = t + jnp.where(hit, 0.0, jnp.maximum(s, min_step))
+        return t, hit, t_hit
+
+    t, hit, t_hit = jax.lax.fori_loop(
+        0,
+        N_MARCH,
+        _march_step,
+        (
+            t0,
+            jnp.zeros(t0.shape, bool),
+            jnp.full(t0.shape, _BIG, t0.dtype),
+        ),
+    )
     # SDF-gradient normal at the hit (central differences, body frame).
     ph = o_l + t_hit[..., None] * d_l
     h = spacing[..., None] * 0.75

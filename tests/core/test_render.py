@@ -350,3 +350,21 @@ class TestMeshFidelity:
         # meaningful fraction of pixels (wings become thin membranes).
         diff = np.abs(frames[True] - frames[False]).max(axis=-1) > 0.05
         assert 0.01 < diff.mean() < 0.6, diff.mean()
+
+    def test_batched_mesh_render(self, world):
+        """vmapped multi-world rendering composes with the SDF refine."""
+        from flygym_tpu.render.renderer import Renderer
+
+        bsim = flygym_tpu.BatchSimulation(world, 4)
+        r = Renderer(
+            bsim.model,
+            world,
+            "trackcam",
+            camera_res=(40, 52),
+            world_ids=[0, 2],
+            mesh_fidelity=True,
+        )
+        frames = r.render(bsim.state)
+        arr = next(iter(frames.values()))
+        assert np.asarray(arr).shape[-3:] == (40, 52, 3)
+        assert np.isfinite(np.asarray(arr)).all()
