@@ -1206,12 +1206,17 @@ def _emit_contacts(
         return out
 
     # ---- Newton refinements with grid line search ----
+    # Incremental iterates: jar(a + αδ) = jar(a) + α·Jδ and
+    # M(a + αδ) = Ma + α·Mδ, with Jδ and Mδ already in hand from the line
+    # search — so jar_of/Mh_mul run once at the warm start and every later
+    # iterate is a fused multiply-add update (saves rows×|path| + pair ops
+    # per Newton iteration; differs from recomputation only by fp
+    # reassociation, far below the solver tolerance).
     a_vec = list(warm)
+    jars = list(jar_w)
+    Ma = Mh_mul(a_vec)
     for _ in range(max(st.solver_iterations, 1)):
-        jars = jar_of(a_vec)
-        grad = Mh_mul(a_vec)
-        for d in range(nv):
-            grad[d] = grad[d] - qfrc[d]
+        grad = [Ma[d] - qfrc[d] for d in range(nv)]
         for r, jr in zip(rows, jars):
             wk = r["D"] * jnp.where(jr < 0.0, 1.0, 0.0) * jr
             for d, jv in r["J"].items():
@@ -1261,8 +1266,9 @@ def _emit_contacts(
         # negcount == 0 → α = 0 (alpha_sel already 0 in that case).
         # Note: bucket i = G-2 appears in both terms; guard the loop one.
         a_vec = [a_vec[d] + alpha_sel * delta[d] for d in range(nv)]
+        jars = [jr + alpha_sel * jd for jr, jd in zip(jars, Jd)]
+        Ma = [Ma[d] + alpha_sel * Md[d] for d in range(nv)]
 
-    jars = jar_of(a_vec)
     lam = [
         jnp.maximum(-r["D"] * jnp.where(jr < 0.0, 1.0, 0.0) * jr, 0.0)
         for r, jr in zip(rows, jars)
@@ -1435,13 +1441,16 @@ def _emit_contacts_stream(
             out.append(p["n"] - mu * p[t])
         return out
 
-    def jar_grad_pass(c, a_vec, grad_con, with_hessian=None, with_aref=False):
+    def jar_grad_pass(c, a_vec, grad_con, with_hessian=None, with_aref=False,
+                      use_cached_jar=False):
         """One streamed pass over candidate c at iterate a_vec.
 
         Computes jar rows (stored on c["jar_cur"]), accumulates the
         contact gradient contribution into grad_con, and optionally (first
         pass) the Hessian fill into with_hessian, aref rows, and the
-        adhesion qfrc projection.
+        adhesion qfrc projection. With ``use_cached_jar`` the incrementally
+        maintained ``c["jar_cur"]`` (jar + α·Jδ from the line search) is
+        reused instead of re-projecting a_vec through the Jacobian.
         """
         comps = dof_components(c)
         if with_aref:
@@ -1456,10 +1465,13 @@ def _emit_contacts_stream(
             adh = c["adh_force"]
             for i, d in enumerate(c["path"]):
                 qfrc[d] = qfrc[d] - adh * comps["n"][i]
-        pa = products(c, comps, a_vec)
-        jrows = row_combos(c, pa)
-        jars = [jr - ar for jr, ar in zip(jrows, c["aref"])]
-        c["jar_cur"] = jars
+        if use_cached_jar:
+            jars = c["jar_cur"]
+        else:
+            pa = products(c, comps, a_vec)
+            jrows = row_combos(c, pa)
+            jars = [jr - ar for jr, ar in zip(jrows, c["aref"])]
+            c["jar_cur"] = jars
         D_ = c["D"]
         wk = [D_ * jnp.where(jr < 0.0, 1.0, 0.0) * jr for jr in jars]
         # grad contribution: J^T Σ_rows wk_r, folded per direction.
@@ -1530,14 +1542,13 @@ def _emit_contacts_stream(
 
     # ---- Newton refinements with grid line search (same schedule as the
     # fused emitter) ----
+    Ma = Mh_mul(a_vec)
     for it in range(max(st.solver_iterations, 1)):
         if it > 0:
             grad_con = [z] * nv
             for c in cons:
-                jar_grad_pass(c, a_vec, grad_con)
-        grad = Mh_mul(a_vec)
-        for d in range(nv):
-            grad[d] = grad[d] - qfrc[d] + grad_con[d]
+                jar_grad_pass(c, a_vec, grad_con, use_cached_jar=True)
+        grad = [Ma[d] - qfrc[d] + grad_con[d] for d in range(nv)]
         delta = _tree_solve(st, Ld, dd, grad)
         delta = [-x for x in delta]
 
@@ -1580,12 +1591,16 @@ def _emit_contacts_stream(
             negcount - 1.0 >= float(G - 1), 1.0, 0.0
         ) * cand
         a_vec = [a_vec[d] + alpha_sel * delta[d] for d in range(nv)]
+        Ma = [Ma[d] + alpha_sel * Md[d] for d in range(nv)]
+        for c in cons:
+            c["jar_cur"] = [
+                jr + alpha_sel * jd
+                for jr, jd in zip(c["jar_cur"], c["jd_cur"])
+            ]
 
     # ---- final jars → per-row forces → per-contact frame forces ----
     for c in cons:
-        comps = dof_components(c)
-        pa = products(c, comps, a_vec)
-        jars = [jr - ar for jr, ar in zip(row_combos(c, pa), c["aref"])]
+        jars = c["jar_cur"]
         D_ = c["D"]
         lam_c = [
             jnp.maximum(-D_ * jnp.where(jr < 0.0, 1.0, 0.0) * jr, 0.0)

@@ -143,11 +143,20 @@ class TestEmitterMatchesEngine:
         )
 
     def test_trajectory_tracks_engine(self, settled):
-        """50 chained emitter steps stay on the engine's trajectory."""
+        """20 chained emitter steps stay on the engine's trajectory.
+
+        Chained from a QUIESCENT state (settled ~2500 steps; the fixture's
+        300-step state is still mid-bounce with |qvel|~30, where chained
+        comparison is chaotic — any per-step fp-reassociation noise, e.g.
+        the emitter's incremental Newton iterates, blows up to O(1) within
+        20 steps and the test becomes a coin flip).
+        """
         model, bstate = settled
         from flygym_tpu.engine.model import State
 
         f_ref = jax.jit(jax.vmap(lambda s: step(model, s)))
+        for _ in range(2200):  # fixture's 300 → ~2500: max|qvel| ≈ 0.1
+            bstate = f_ref(bstate)
 
         def emit_state_step(s):
             got = _emit_batched(model, s)
@@ -170,11 +179,12 @@ class TestEmitterMatchesEngine:
         for _ in range(20):
             s_ref = f_ref(s_ref)
             s_emit = f_emit(s_emit)
+        # Measured: dqpos ~1.5e-7, dqvel ~4e-4, flat over the 20 steps.
         np.testing.assert_allclose(
-            np.asarray(s_emit.qpos), np.asarray(s_ref.qpos), atol=1e-3
+            np.asarray(s_emit.qpos), np.asarray(s_ref.qpos), atol=1e-5
         )
         np.testing.assert_allclose(
-            np.asarray(s_emit.qvel), np.asarray(s_ref.qvel), atol=5e-2
+            np.asarray(s_emit.qvel), np.asarray(s_ref.qvel), atol=3e-3
         )
 
 
