@@ -573,7 +573,7 @@ def _solve_primal_newton(
         delta = -solve_op(L_fac, d_fac, grad)
 
         # Near-exact line search on the convex piecewise-quadratic
-        # restriction (parallel grid evaluation, see _exact_linesearch).
+        # restriction (guarded 1D Newton, see _exact_linesearch).
         Jd = Jp @ delta
         Md = Mh @ delta
         dMd = delta @ Md
@@ -585,52 +585,60 @@ def _solve_primal_newton(
     return a, lam
 
 
-_LS_GRID = None
-
-
-def _ls_grid(dtype):
-    # Candidate step sizes: dense near the full Newton step (α = 1).
-    global _LS_GRID
-    if _LS_GRID is None:
-        import numpy as _np
-
-        _LS_GRID = _np.array(
-            [0.0, 0.05, 0.1, 0.2, 0.3, 0.45, 0.6, 0.75, 0.85, 0.95, 1.0,
-             1.1, 1.25, 1.5, 1.75, 2.0],
-            _np.float32,
-        )
-    return jnp.asarray(_LS_GRID, dtype)
+_LS_BISECT_ITERS = 8
+_LS_ALPHA_MAX = 2.0
 
 
 def _exact_linesearch(gMd, dMd, jar, Jd, D, dtype):
     """Near-exact minimizer of φ(α) = c(a + α δ) along the Newton direction.
 
     φ'(α) = (gMd + α dMd) + Σ_r [jar_r + α Jd_r < 0] D_r (jar_r + α Jd_r) Jd_r
-    is continuous and increasing (φ convex). Evaluate φ' on a fixed candidate
-    grid *in parallel* (one batched op over candidates × rows — no sorting
-    and no sequential 1D iteration, both of which serialize poorly on TPU),
-    find the bracketing pair, and interpolate the root linearly (φ' is
-    piecewise linear, so this is exact whenever no breakpoint falls inside
-    the bracket, and tightly bounded otherwise).
-    """
-    alphas = _ls_grid(dtype)  # (G,)
-    jar_a = jar[None, :] + alphas[:, None] * Jd[None, :]  # (G, m)
-    act = (jar_a < 0.0) & (D > 0.0)[None, :]
-    dphi = (
-        gMd
-        + alphas * dMd
-        + jnp.sum(jnp.where(act, D[None, :] * jar_a * Jd[None, :], 0.0), axis=1)
-    )  # (G,)
+    is continuous, increasing (φ convex) and piecewise linear. Bisect the
+    root bracket [0, 2] eight times, then interpolate the root linearly in
+    the final bracket (width 2/2⁸ ≈ 0.008; exact whenever no breakpoint
+    falls inside it) — tighter than the previous 16-point grid at ~10 row
+    passes instead of 16, with no φ'' accumulation at all.
 
-    # Last grid index with φ' < 0 (φ' increasing). If none: α = 0.
-    neg = dphi < 0.0
-    idx = jnp.sum(neg.astype(jnp.int32)) - 1
-    idx = jnp.clip(idx, 0, alphas.shape[0] - 2)
-    lo, hi = alphas[idx], alphas[idx + 1]
-    dlo, dhi = dphi[idx], dphi[idx + 1]
+    Deliberately bisection and NOT 1D Newton: the mega-step emitters
+    (ops/megastep.py) mirror this algorithm with sequential per-row
+    accumulation while this path uses jnp reductions, so the two evaluate
+    φ' with ~1-ulp fp differences. Newton feeds the *value* d/h back into
+    the next iterate, and at an active-set breakpoint h jumps — a 1-ulp
+    straddle there amplifies into O(0.05) α divergence (measured: 0.098
+    qvel disagreement on the two-fly stack). Bisection feeds back only the
+    SIGN of φ', which both paths agree on except within noise of the root
+    itself — where the bracket is already tight and the final smooth
+    interpolation bounds the disagreement. α capped at 2 (beyond-full
+    steps help warm-started frozen-Hessian refinement), as before.
+    """
+    active0 = (jar < 0.0) & (D > 0.0)
+    p = D * Jd  # per-row: D_r Jd_r
+    zero = jnp.zeros((), dtype)
+    dlo = gMd + jnp.sum(jnp.where(active0, p * jar, 0.0))  # φ'(0)
+    ja_m = jar + _LS_ALPHA_MAX * Jd
+    act_m = (ja_m < 0.0) & (D > 0.0)
+    dhi = (
+        gMd
+        + _LS_ALPHA_MAX * dMd
+        + jnp.sum(jnp.where(act_m, p * ja_m, 0.0))
+    )  # φ'(2)
+    lo = zero
+    hi = jnp.full((), _LS_ALPHA_MAX, dtype)
+    for _ in range(_LS_BISECT_ITERS):
+        mid = 0.5 * (lo + hi)
+        ja = jar + mid * Jd
+        act = (ja < 0.0) & (D > 0.0)
+        d = gMd + mid * dMd + jnp.sum(jnp.where(act, p * ja, 0.0))
+        neg = d < 0.0
+        lo = jnp.where(neg, mid, lo)
+        dlo = jnp.where(neg, d, dlo)
+        hi = jnp.where(neg, hi, mid)
+        dhi = jnp.where(neg, dhi, d)
+    # Regula falsi on the final bracket; t clips to 1 when the root lies
+    # beyond α_max (dhi still < 0 there), giving α = 2 as the grid did.
     t = -dlo / jnp.maximum(dhi - dlo, 1e-12)
     alpha = lo + jnp.clip(t, 0.0, 1.0) * (hi - lo)
-    return jnp.where(jnp.any(neg), alpha, jnp.zeros((), dtype))
+    return jnp.where(dlo < 0.0, alpha, zero)
 
 
 def _solve_dual_pgs(model, Mh, Jp, D, aref, qfrc, row_active, K, dtype):

@@ -149,10 +149,11 @@ def _stream_mode(model) -> bool:
 
 _EPS = 1e-9
 
-_LS_ALPHAS = (
-    0.0, 0.05, 0.1, 0.2, 0.3, 0.45, 0.6, 0.75, 0.85, 0.95, 1.0,
-    1.1, 1.25, 1.5, 1.75, 2.0,
-)
+# Bisection line-search schedule — must match the engine's
+# _exact_linesearch (engine/contact.py) so emitter and engine trajectories
+# stay in lockstep.
+_LS_BISECT_ITERS = 8
+_LS_ALPHA_MAX = 2.0
 
 # ---------------------------------------------------------------------------
 # Lane-vector math: 3-vectors and quaternions as python tuples of (L,) arrays
@@ -1236,35 +1237,43 @@ def _emit_contacts(
             for d, jv in r["J"].items():
                 s_ = s_ + jv * delta[d]
             Jd.append(s_)
-        # Grid line search: φ'(α) at static candidate αs; interpolate root.
-        dphis = []
-        for alpha in _LS_ALPHAS:
-            s_ = gMd + alpha * dMd
-            for r, jr, jd in zip(rows, jars, Jd):
+        # Bisection line search with final regula falsi — same algorithm
+        # as the engine's _exact_linesearch (engine/contact.py), per-lane.
+        # Bisection (not 1D Newton): probe positions depend only on the
+        # SIGN of φ', which this sequential accumulation and the engine's
+        # jnp reductions agree on except within fp noise of the root — so
+        # emitter and engine stay in lockstep (Newton's value feedback
+        # amplifies a 1-ulp breakpoint straddle into O(0.05) α divergence).
+        # ~10 row passes vs the old 16-point grid, and no φ'' work.
+        ps = [r["D"] * jd for r, jd in zip(rows, Jd)]
+
+        def _dphi_fused(alpha):
+            d_ = gMd + alpha * dMd
+            for jr, jd, p_ in zip(jars, Jd, ps):
                 ja = jr + alpha * jd
-                s_ = s_ + jnp.where(ja < 0.0, r["D"] * ja * jd, 0.0)
-            dphis.append(s_)
-        negcount = z
-        for s_ in dphis:
-            negcount = negcount + jnp.where(s_ < 0.0, 1.0, 0.0)
-        alpha_sel = z
-        G = len(_LS_ALPHAS)
-        for i_ in range(G - 1):
-            lo, hi = _LS_ALPHAS[i_], _LS_ALPHAS[i_ + 1]
-            dlo, dhi = dphis[i_], dphis[i_ + 1]
-            t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
-            cand = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
-            idx_is = jnp.where(negcount - 1.0 == float(i_), 1.0, 0.0)
-            # idx clamp to G-2 handled by final bucket below.
-            alpha_sel = alpha_sel + idx_is * cand
-        # negcount - 1 >= G-1 → clamp to last bracket.
-        lo, hi = _LS_ALPHAS[G - 2], _LS_ALPHAS[G - 1]
-        dlo, dhi = dphis[G - 2], dphis[G - 1]
+                m_ = jnp.where(ja < 0.0, 1.0, 0.0)
+                d_ = d_ + m_ * p_ * ja
+            return d_
+
+        dlo = gMd
+        for jr, p_ in zip(jars, ps):
+            m_ = jnp.where(jr < 0.0, 1.0, 0.0)
+            dlo = dlo + m_ * p_ * jr
+        d0 = dlo
+        dhi = _dphi_fused(z + _LS_ALPHA_MAX)
+        lo = z
+        hi = z + _LS_ALPHA_MAX
+        for _k in range(_LS_BISECT_ITERS):
+            mid = 0.5 * (lo + hi)
+            d_ = _dphi_fused(mid)
+            neg = d_ < 0.0
+            lo = jnp.where(neg, mid, lo)
+            dlo = jnp.where(neg, d_, dlo)
+            hi = jnp.where(neg, hi, mid)
+            dhi = jnp.where(neg, dhi, d_)
         t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
-        cand = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
-        alpha_sel = alpha_sel + jnp.where(negcount - 1.0 >= float(G - 1), 1.0, 0.0) * cand
-        # negcount == 0 → α = 0 (alpha_sel already 0 in that case).
-        # Note: bucket i = G-2 appears in both terms; guard the loop one.
+        alpha_sel = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
+        alpha_sel = jnp.where(d0 < 0.0, alpha_sel, 0.0)
         a_vec = [a_vec[d] + alpha_sel * delta[d] for d in range(nv)]
         jars = [jr + alpha_sel * jd for jr, jd in zip(jars, Jd)]
         Ma = [Ma[d] + alpha_sel * Md[d] for d in range(nv)]
@@ -1561,35 +1570,42 @@ def _emit_contacts_stream(
         for c in cons:
             comps = dof_components(c)
             c["jd_cur"] = row_combos(c, products(c, comps, delta))
-        # Grid line search: φ'(α) at static candidate αs; interpolate root.
-        dphis = []
-        for alpha in _LS_ALPHAS:
-            s_ = gMd + alpha * dMd
+        # Bisection line search with final regula falsi (same algorithm as
+        # the fused emitter / engine _exact_linesearch — see the fused
+        # emitter for why bisection and not 1D Newton). Unlike the fused
+        # emitter, the per-row D·Jd product is recomputed inside each of
+        # the ~10 evaluations rather than cached — keeps the streamed
+        # variant's value stack at jar/jd only (its whole reason to exist).
+        # t_ = D·jd matches the fused emitter's cached p_ bit-for-bit: m_
+        # is exactly 0/1, so the products associate identically and the
+        # two emitters stay bit-comparable through the line search.
+        def _dphi(alpha, at_zero=False):
+            d_ = gMd if at_zero else gMd + alpha * dMd
             for c in cons:
                 D_ = c["D"]
                 for jr, jd in zip(c["jar_cur"], c["jd_cur"]):
-                    ja = jr + alpha * jd
-                    s_ = s_ + jnp.where(ja < 0.0, D_ * ja * jd, 0.0)
-            dphis.append(s_)
-        negcount = z
-        for s_ in dphis:
-            negcount = negcount + jnp.where(s_ < 0.0, 1.0, 0.0)
-        alpha_sel = z
-        G = len(_LS_ALPHAS)
-        for i_ in range(G - 1):
-            lo, hi = _LS_ALPHAS[i_], _LS_ALPHAS[i_ + 1]
-            dlo, dhi = dphis[i_], dphis[i_ + 1]
-            t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
-            cand = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
-            idx_is = jnp.where(negcount - 1.0 == float(i_), 1.0, 0.0)
-            alpha_sel = alpha_sel + idx_is * cand
-        lo, hi = _LS_ALPHAS[G - 2], _LS_ALPHAS[G - 1]
-        dlo, dhi = dphis[G - 2], dphis[G - 1]
+                    ja = jr if at_zero else jr + alpha * jd
+                    m_ = jnp.where(ja < 0.0, 1.0, 0.0)
+                    t_ = D_ * jd
+                    d_ = d_ + m_ * t_ * ja
+            return d_
+
+        dlo = _dphi(z, at_zero=True)
+        d0 = dlo
+        dhi = _dphi(z + _LS_ALPHA_MAX)
+        lo = z
+        hi = z + _LS_ALPHA_MAX
+        for _k in range(_LS_BISECT_ITERS):
+            mid = 0.5 * (lo + hi)
+            d_ = _dphi(mid)
+            neg = d_ < 0.0
+            lo = jnp.where(neg, mid, lo)
+            dlo = jnp.where(neg, d_, dlo)
+            hi = jnp.where(neg, hi, mid)
+            dhi = jnp.where(neg, dhi, d_)
         t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
-        cand = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
-        alpha_sel = alpha_sel + jnp.where(
-            negcount - 1.0 >= float(G - 1), 1.0, 0.0
-        ) * cand
+        alpha_sel = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
+        alpha_sel = jnp.where(d0 < 0.0, alpha_sel, 0.0)
         a_vec = [a_vec[d] + alpha_sel * delta[d] for d in range(nv)]
         Ma = [Ma[d] + alpha_sel * Md[d] for d in range(nv)]
         for c in cons:
