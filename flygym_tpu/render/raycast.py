@@ -379,6 +379,24 @@ def raycast_scene(
     return t, geom_idx, normal
 
 
+def _bilinear_wrap(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray):
+    """Bilinearly sample an (H, W, 3) texture at wrapped UVs (N,) → (N, 3)."""
+    ht, wt = tex.shape[0], tex.shape[1]
+    x = (u % 1.0) * wt - 0.5
+    y = (v % 1.0) * ht - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    xi0 = jnp.mod(x0.astype(jnp.int32), wt)
+    xi1 = jnp.mod(xi0 + 1, wt)
+    yi0 = jnp.mod(y0.astype(jnp.int32), ht)
+    yi1 = jnp.mod(yi0 + 1, ht)
+    cx0 = tex[yi0, xi0] * (1 - fx) + tex[yi0, xi1] * fx
+    cx1 = tex[yi1, xi0] * (1 - fx) + tex[yi1, xi1] * fx
+    return cx0 * (1 - fy) + cx1 * fy
+
+
 def render_pixels(
     model: PhysicsModel,
     gpos: jnp.ndarray,
@@ -391,6 +409,9 @@ def render_pixels(
     capsule_mask: jnp.ndarray,
     checker_period: float = 1.0,
     sdf_pack=None,
+    ground_texture: jnp.ndarray | None = None,
+    ground_texture_period: float = 10.0,
+    sky_texture: jnp.ndarray | None = None,
 ):
     """Render one RGB frame (H, W, 3) float in [0, 1].
 
@@ -399,6 +420,13 @@ def render_pixels(
     procedural body-local speckle texture on fly geoms and checkerboard +
     noise-tinted ground (the reference renders MuJoCo GL textures/materials,
     ``rendering.py:16-268``; terrains tint by height).
+
+    Image textures (the analog of MuJoCo GL's file textures): pass
+    ``ground_texture`` (H, W, 3) to replace the procedural checkerboard —
+    planar-mapped from world x/y, one repeat per ``ground_texture_period``
+    mm, bilinear with wrap — and/or ``sky_texture`` (H, W, 3) as an
+    equirectangular sky dome sampled by ray direction (misses and the
+    distance-fog tint both use it).
     """
     dtype = gpos.dtype
     dirs_cam = camera_rays(height, width, fovy_deg, dtype).reshape(-1, 3)
@@ -429,19 +457,26 @@ def render_pixels(
     speckle = speckle / 1.5  # back to [0, 1)
     geom_rgb = geom_rgb * (0.82 + 0.36 * speckle[:, None])
 
-    checker = (
-        jnp.floor(hit_p[:, 0] / checker_period)
-        + jnp.floor(hit_p[:, 1] / checker_period)
-    ) % 2.0
-    ground_rgb = jnp.where(
-        checker[:, None] > 0.5,
-        jnp.array([0.4, 0.4, 0.4], dtype),
-        jnp.array([0.3, 0.3, 0.3], dtype),
-    )
-    # Large-scale noise tint breaks up the checker's flatness; heightfield
-    # terrains additionally tint by elevation (sand low, grey high).
-    gnoise = _value_noise3(hit_p * jnp.array([0.7, 0.7, 0.0], dtype))
-    ground_rgb = ground_rgb * (0.9 + 0.2 * gnoise[:, None])
+    if ground_texture is not None:
+        ground_rgb = _bilinear_wrap(
+            jnp.asarray(ground_texture, dtype),
+            hit_p[:, 0] / ground_texture_period,
+            hit_p[:, 1] / ground_texture_period,
+        )
+    else:
+        checker = (
+            jnp.floor(hit_p[:, 0] / checker_period)
+            + jnp.floor(hit_p[:, 1] / checker_period)
+        ) % 2.0
+        ground_rgb = jnp.where(
+            checker[:, None] > 0.5,
+            jnp.array([0.4, 0.4, 0.4], dtype),
+            jnp.array([0.3, 0.3, 0.3], dtype),
+        )
+        # Large-scale noise tint breaks up the checker's flatness;
+        # heightfield terrains additionally tint by elevation.
+        gnoise = _value_noise3(hit_p * jnp.array([0.7, 0.7, 0.0], dtype))
+        ground_rgb = ground_rgb * (0.9 + 0.2 * gnoise[:, None])
     if model.has_hfield:
         hmin = jnp.min(model.hfield_data)
         zspan = jnp.maximum(jnp.max(model.hfield_data) - hmin, 1e-6)
@@ -451,7 +486,18 @@ def render_pixels(
         ground_rgb = ground_rgb * 0.35 + 0.65 * (
             low_rgb * (1 - rel_h[:, None]) + high_rgb * rel_h[:, None]
         )
-    sky_rgb = jnp.array([0.65, 0.75, 0.9], dtype)
+    if sky_texture is not None:
+        # Equirectangular dome: azimuth → u, elevation → v (clamped at the
+        # poles rather than wrapped).
+        az = jnp.arctan2(dirs[:, 1], dirs[:, 0])
+        el = jnp.arcsin(jnp.clip(dirs[:, 2], -1.0, 1.0))
+        sky_rgb = _bilinear_wrap(
+            jnp.asarray(sky_texture, dtype),
+            az / (2.0 * jnp.pi) + 0.5,
+            jnp.clip(0.5 - el / jnp.pi, 0.0, 1.0 - 1e-6),
+        )
+    else:
+        sky_rgb = jnp.array([0.65, 0.75, 0.9], dtype)
     base = jnp.where(
         (geom_idx >= 0)[:, None],
         geom_rgb,

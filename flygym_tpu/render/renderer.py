@@ -25,6 +25,32 @@ from flygym_tpu.render.raycast import render_pixels
 __all__ = ["Renderer", "launch_interactive_viewer", "preview_model"]
 
 
+def _load_texture(tex):
+    """Normalize a texture argument to an (H, W, 3) float32 array in [0, 1].
+
+    Accepts None, an array (float [0,1] or uint8, RGB/RGBA/grayscale), or an
+    image-file path (loaded via matplotlib, which is already a dependency of
+    utils/plot.py).
+    """
+    if tex is None:
+        return None
+    if isinstance(tex, (str, PathLike)):
+        from matplotlib.image import imread
+
+        tex = imread(str(tex))
+    tex = np.asarray(tex)
+    if tex.dtype == np.uint8:
+        tex = tex.astype(np.float32) / 255.0
+    tex = tex.astype(np.float32)
+    if tex.ndim == 2:  # grayscale
+        tex = np.repeat(tex[:, :, None], 3, axis=2)
+    if tex.shape[-1] == 4:  # RGBA
+        tex = tex[..., :3]
+    if tex.ndim != 3 or tex.shape[-1] != 3:
+        raise ValueError(f"Texture must be (H, W, 3); got shape {tex.shape}")
+    return jnp.asarray(tex)
+
+
 class Renderer:
     """Raycasting renderer with reference-compatible frame gating.
 
@@ -51,6 +77,9 @@ class Renderer:
         buffer_frames: bool = True,
         world_ids: Sequence[int] | None = None,
         mesh_fidelity: bool = False,
+        ground_texture=None,
+        ground_texture_period: float = 10.0,
+        sky_texture=None,
         **kwargs: Any,
     ) -> None:
         self.model = model
@@ -93,6 +122,12 @@ class Renderer:
                     "scripts/dev/derive_sdf_assets.py to bake the mesh "
                     "SDF grids."
                 )
+        # Image textures (the analog of MuJoCo GL file textures,
+        # reference ``rendering.py:16-268``): arrays or image-file paths.
+        self._ground_texture = _load_texture(ground_texture)
+        self._ground_texture_period = float(ground_texture_period)
+        self._sky_texture = _load_texture(sky_texture)
+
         self._render_fn = jax.jit(self._render_one_camera, static_argnums=(0,))
         # One device call renders all selected worlds (the reference's GPU
         # batch renderer semantics, ``warp/rendering.py:279-341``) instead
@@ -177,6 +212,9 @@ class Renderer:
             cam.fovy,
             self._capsule_mask,
             sdf_pack=self._sdf_pack,
+            ground_texture=self._ground_texture,
+            ground_texture_period=self._ground_texture_period,
+            sky_texture=self._sky_texture,
         )
 
     # -- public API --------------------------------------------------------

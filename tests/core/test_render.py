@@ -165,6 +165,74 @@ class TestBatchRendering:
         assert grid.shape == (48, 64, 3)
 
 
+class TestImageTextures:
+    """Image-file texture support (the analog of MuJoCo GL file textures,
+    reference ``rendering.py:16-268``): planar ground decal + equirect sky."""
+
+    def test_ground_texture_colors_ground(self, sim):
+        sim.reset()
+        red = np.zeros((4, 4, 3), np.float32)
+        red[..., 0] = 1.0
+        renderer = sim.set_renderer(
+            "trackcam", camera_res=(40, 56), ground_texture=red
+        )
+        frame = next(iter(renderer.render(sim.state).values())).astype(float)
+        # Bottom rows look at the ground: red channel must dominate.
+        bottom = frame[-8:].mean(axis=(0, 1))
+        assert bottom[0] > 1.5 * bottom[1] and bottom[0] > 1.5 * bottom[2], bottom
+
+    def test_sky_texture_colors_sky(self, sim):
+        sim.reset()
+        magenta = np.zeros((4, 8, 3), np.float32)
+        magenta[..., 0] = 1.0
+        magenta[..., 2] = 1.0
+        renderer = sim.set_renderer(
+            "trackcam", camera_res=(40, 56), sky_texture=magenta
+        )
+        frame = next(iter(renderer.render(sim.state).values())).astype(float)
+        top = frame[:4].mean(axis=(0, 1))
+        assert top[0] > 1.5 * top[1] and top[2] > 1.5 * top[1], top
+
+    def test_load_texture_formats(self, tmp_path):
+        from flygym_tpu.render.renderer import _load_texture
+
+        assert _load_texture(None) is None
+        u8 = np.full((2, 2, 3), 255, np.uint8)
+        assert float(np.max(np.asarray(_load_texture(u8)))) == 1.0
+        rgba = np.ones((2, 2, 4), np.float32)
+        assert _load_texture(rgba).shape == (2, 2, 3)
+        gray = np.ones((2, 2), np.float32)
+        assert _load_texture(gray).shape == (2, 2, 3)
+        with pytest.raises(ValueError):
+            _load_texture(np.ones((2, 2, 2), np.float32))
+        # Round-trip through an image file (matplotlib writer/reader).
+        from matplotlib.image import imsave
+
+        path = tmp_path / "tex.png"
+        imsave(path, np.zeros((2, 2, 3), np.float32))
+        tex = _load_texture(path)
+        assert tex.shape == (2, 2, 3)
+
+    def test_bilinear_wrap_sampling(self):
+        import jax.numpy as jnp
+
+        from flygym_tpu.render.raycast import _bilinear_wrap
+
+        tex = jnp.asarray(
+            [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+             [[0.0, 0.0, 1.0], [1.0, 1.0, 1.0]]]
+        )
+        # Texel centers sample exactly; ±1 wraps to the same texel.
+        u = jnp.asarray([0.25, 0.75, 1.25, -0.75])
+        v = jnp.asarray([0.25, 0.25, 0.25, 0.25])
+        got = np.asarray(_bilinear_wrap(tex, u, v))
+        np.testing.assert_allclose(got[0], [1, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(got[1], [0, 1, 0], atol=1e-6)
+        # u = 1.25 and u = -0.75 both wrap to u = 0.25 (texel 0).
+        np.testing.assert_allclose(got[2], got[0], atol=1e-6)
+        np.testing.assert_allclose(got[3], got[0], atol=1e-6)
+
+
 class TestPreview:
     def test_preview_model(self, world):
         from flygym_tpu.render import preview_model
