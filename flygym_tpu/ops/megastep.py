@@ -1027,289 +1027,21 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one):
 def _emit_contacts(
     st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain=None
 ):
-    """Contact rows + tree-LDL + primal Newton on lane vectors.
+    """Contact rows + tree-LDL + primal Newton on lane vectors (FUSED).
 
-    Returns (qacc list, lam rows, contact info dict for sensors).
+    Same structured solver as :func:`_emit_contacts_stream` (one shared
+    implementation, :func:`_contacts_impl`), with the per-candidate
+    direction components (jp_d = S_v[d] + S_w[d] x rel projected into the
+    contact frame) computed ONCE and cached across the aref/Hessian pass,
+    every Newton gradient fold, and every J.delta fold — the fewest
+    emitted ops at the cost of ncand x ndirs x |path| extra lane values
+    held live through the solve.
     """
-    nv = st.nv
+    return _contacts_impl(
+        st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
+        terrain, cache_comps=True,
+    )
 
-    def key(a_, b_):
-        # Canonical tree-pair key: (ancestor_or_self, descendant). Returns
-        # None for cross-tree pairs (fly-fly contact rows couple two
-        # disjoint kinematic trees): those Hessian entries fall outside the
-        # tree-LDL sparsity pattern and are dropped — exactly what the jnp
-        # path's tree factor does (the gradient stays exact; Newton becomes
-        # approximate-Hessian with exact line search).
-        if a_ == b_:
-            return (a_, b_)
-        if a_ in st.dof_chains[b_]:
-            return (a_, b_)
-        if b_ in st.dof_chains[a_]:
-            return (b_, a_)
-        return None
-
-    if st.ncand == 0:
-        Ld, dd = _tree_ldl(st, Mh, z)
-        qacc = _tree_solve(st, Ld, dd, qfrc)
-        return qacc, None, None
-
-    # ---- candidate geometry ----
-    cons = []
-    for cidx in range(st.ncand):
-        c = _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one)
-        b = c["body"]
-        dist = c["dist"]
-        cpos = c["cpos"]
-        active = c["active"]
-        imp = c["imp"]
-        pos_err = c["pos_err"]
-        b_gain = c["b_gain"]
-        k_gain = c["k_gain"]
-        frame = c["frame"]
-        n_c, t1, t2 = frame if frame is not None else (None, None, None)
-        dof_signs = c["signs"]
-        path = c["path"]
-        rel = c["rel"]
-        Jn, Jt1, Jt2 = {}, {}, {}
-        Jrn, Jrt1, Jrt2 = {}, {}, {}
-        for d in path:
-            w_, v_ = S[d]
-            jp = _add3(v_, _cross(w_, rel))
-            sgn = dof_signs[d]
-            if sgn != 1.0:  # keep the hot single-body path multiply-free
-                jp = _scale3(jp, sgn)
-                w_ = _scale3(w_, sgn)
-            if n_c is None:
-                # Flat frame: pick components (n = z, t1 = x, t2 = y).
-                Jt1[d], Jt2[d], Jn[d] = jp[0], jp[1], jp[2]
-                if st.condim > 3:
-                    Jrn[d], Jrt1[d], Jrt2[d] = w_[2], w_[0], w_[1]
-            else:
-                Jn[d] = _dot3(jp, n_c)
-                Jt1[d] = _dot3(jp, t1)
-                Jt2[d] = _dot3(jp, t2)
-                if st.condim > 3:
-                    Jrn[d] = _dot3(w_, n_c)
-                    Jrt1[d] = _dot3(w_, t1)
-                    Jrt2[d] = _dot3(w_, t2)
-        cons.append(
-            dict(
-                body=b,
-                path=path,
-                dist=dist,
-                cpos=cpos,
-                active=active,
-                imp=imp,
-                pos_err=pos_err,
-                b_gain=b_gain,
-                k_gain=k_gain,
-                Jn=Jn,
-                Jt1=Jt1,
-                Jt2=Jt2,
-                Jrn=Jrn,
-                Jrt1=Jrt1,
-                Jrt2=Jrt2,
-                frame=frame,
-                mu=c["mu"],
-                invweight=c["invweight"],
-                adh=c["adh"],
-                sensor=c["sensor"],
-            )
-        )
-
-    # ---- adhesion as applied generalized force ----
-    qfrc = list(qfrc)
-    for u, group in st.adh_groups.items():
-        gain = float(st.act_gain[u])
-        total = gain * c_clamped[u]
-        count = z
-        for c in group:
-            count = count + jnp.where(cons[c]["active"], 1.0, 0.0)
-        per = total / jnp.maximum(count, 1.0)
-        for c in group:
-            f_adh = jnp.where(cons[c]["active"], per, 0.0)
-            cons[c]["adh_force"] = f_adh
-            for d in cons[c]["path"]:
-                qfrc[d] = qfrc[d] - f_adh * cons[c]["Jn"][d]
-    for c in cons:
-        c.setdefault("adh_force", z)
-
-    # ---- pyramid rows ----
-    rows = []  # each: dict(J: {dof: lane}, aref, D)
-    for c in cons:
-        mu_s, mu_t, mu_r = c["mu"]
-        dirs = []
-        if st.condim >= 3:
-            dirs = [(c["Jt1"], mu_s), (c["Jt2"], mu_s)]
-        if st.condim >= 4:
-            dirs.append((c["Jrn"], mu_t))
-        if st.condim == 6:
-            dirs.append((c["Jrt1"], mu_r))
-            dirs.append((c["Jrt2"], mu_r))
-        R_ = (1.0 - c["imp"]) / c["imp"] * max(c["invweight"], 1e-12)
-        D_ = jnp.where(c["active"], 1.0 / jnp.maximum(R_, 1e-12), 0.0)
-        krow = c["k_gain"]
-
-        def make_row(Jrow):
-            vel = z
-            for d, jv in Jrow.items():
-                vel = vel + jv * v[d]
-            aref = -c["b_gain"] * vel - krow * c["imp"] * c["pos_err"]
-            return dict(J=Jrow, aref=aref, D=D_)
-
-        if st.condim == 1:
-            rows.append(make_row(dict(c["Jn"])))
-        else:
-            for Jd, mu in dirs:
-                for sign in (1.0, -1.0):
-                    Jrow = {
-                        d: c["Jn"][d] + sign * mu * Jd[d] for d in c["path"]
-                    }
-                    rows.append(make_row(Jrow))
-
-    # ---- contact Hessian (tree-sparse) at warm-start active set ----
-    def jar_of(a_vec):
-        jars = []
-        for r in rows:
-            s_ = -r["aref"]
-            for d, jv in r["J"].items():
-                s_ = s_ + jv * a_vec[d]
-            jars.append(s_)
-        return jars
-
-    jar_w = jar_of(warm)
-    H = dict(Mh)
-    for r, jw in zip(rows, jar_w):
-        w_r = r["D"] * jnp.where(jw < 0.0, 1.0, 0.0)
-        path = list(r["J"].keys())
-        for i_, a_ in enumerate(path):
-            ja = r["J"][a_]
-            for b_ in path[i_:]:
-                k = key(a_, b_)
-                if k is None:  # cross-tree fill-in: dropped (see key())
-                    continue
-                H[k] = H[k] + w_r * ja * r["J"][b_]
-    for d in range(nv):
-        H[(d, d)] = H[(d, d)] + 1e-9
-
-    Ld, dd = _tree_ldl(st, H, z)
-
-    def Mh_mul(a_vec):
-        out = [None] * nv
-        for d in range(nv):
-            out[d] = Mh[(d, d)] * a_vec[d]
-        for (a_, b_) in st.pair_keys:
-            if a_ == b_:
-                continue
-            val = Mh[(a_, b_)]
-            out[b_] = out[b_] + val * a_vec[a_]
-            out[a_] = out[a_] + val * a_vec[b_]
-        return out
-
-    # ---- Newton refinements with grid line search ----
-    # Incremental iterates: jar(a + αδ) = jar(a) + α·Jδ and
-    # M(a + αδ) = Ma + α·Mδ, with Jδ and Mδ already in hand from the line
-    # search — so jar_of/Mh_mul run once at the warm start and every later
-    # iterate is a fused multiply-add update (saves rows×|path| + pair ops
-    # per Newton iteration; differs from recomputation only by fp
-    # reassociation, far below the solver tolerance).
-    a_vec = list(warm)
-    jars = list(jar_w)
-    Ma = Mh_mul(a_vec)
-    for _ in range(max(st.solver_iterations, 1)):
-        grad = [Ma[d] - qfrc[d] for d in range(nv)]
-        for r, jr in zip(rows, jars):
-            wk = r["D"] * jnp.where(jr < 0.0, 1.0, 0.0) * jr
-            for d, jv in r["J"].items():
-                grad[d] = grad[d] + jv * wk
-        delta = _tree_solve(st, Ld, dd, grad)
-        delta = [-x for x in delta]
-
-        Md = Mh_mul(delta)
-        dMd = z
-        gMd = z
-        for d in range(nv):
-            dMd = dMd + delta[d] * Md[d]
-            gMd = gMd + a_vec[d] * Md[d] - qfrc[d] * delta[d]
-        Jd = []
-        for r in rows:
-            s_ = z
-            for d, jv in r["J"].items():
-                s_ = s_ + jv * delta[d]
-            Jd.append(s_)
-        # Bisection line search with final regula falsi — same algorithm
-        # as the engine's _exact_linesearch (engine/contact.py), per-lane.
-        # Bisection (not 1D Newton): probe positions depend only on the
-        # SIGN of φ', which this sequential accumulation and the engine's
-        # jnp reductions agree on except within fp noise of the root — so
-        # emitter and engine stay in lockstep (Newton's value feedback
-        # amplifies a 1-ulp breakpoint straddle into O(0.05) α divergence).
-        # ~10 row passes vs the old 16-point grid, and no φ'' work.
-        ps = [r["D"] * jd for r, jd in zip(rows, Jd)]
-
-        def _dphi_fused(alpha):
-            d_ = gMd + alpha * dMd
-            for jr, jd, p_ in zip(jars, Jd, ps):
-                ja = jr + alpha * jd
-                m_ = jnp.where(ja < 0.0, 1.0, 0.0)
-                d_ = d_ + m_ * p_ * ja
-            return d_
-
-        dlo = gMd
-        for jr, p_ in zip(jars, ps):
-            m_ = jnp.where(jr < 0.0, 1.0, 0.0)
-            dlo = dlo + m_ * p_ * jr
-        d0 = dlo
-        dhi = _dphi_fused(z + _LS_ALPHA_MAX)
-        lo = z
-        hi = z + _LS_ALPHA_MAX
-        for _k in range(_LS_BISECT_ITERS):
-            mid = 0.5 * (lo + hi)
-            d_ = _dphi_fused(mid)
-            neg = d_ < 0.0
-            lo = jnp.where(neg, mid, lo)
-            dlo = jnp.where(neg, d_, dlo)
-            hi = jnp.where(neg, hi, mid)
-            dhi = jnp.where(neg, dhi, d_)
-        t_ = -dlo / jnp.maximum(dhi - dlo, 1e-12)
-        alpha_sel = lo + jnp.clip(t_, 0.0, 1.0) * (hi - lo)
-        alpha_sel = jnp.where(d0 < 0.0, alpha_sel, 0.0)
-        a_vec = [a_vec[d] + alpha_sel * delta[d] for d in range(nv)]
-        jars = [jr + alpha_sel * jd for jr, jd in zip(jars, Jd)]
-        Ma = [Ma[d] + alpha_sel * Md[d] for d in range(nv)]
-
-    lam = [
-        jnp.maximum(-r["D"] * jnp.where(jr < 0.0, 1.0, 0.0) * jr, 0.0)
-        for r, jr in zip(rows, jars)
-    ]
-
-    # ---- per-contact frame forces for sensors ----
-    nr = st.nrows
-    for ci, c in enumerate(cons):
-        lam_c = lam[ci * nr : (ci + 1) * nr]
-        fn = z
-        for l_ in lam_c:
-            fn = fn + l_
-        if st.condim >= 3:
-            mu_s = c["mu"][0]
-            ft1 = mu_s * (lam_c[0] - lam_c[1])
-            ft2 = mu_s * (lam_c[2] - lam_c[3])
-        else:
-            ft1 = ft2 = z
-        act_m = jnp.where(c["active"], 1.0, 0.0)
-        c["f_frame"] = (fn * act_m, ft1 * act_m, ft2 * act_m)
-        if c["frame"] is None:
-            # Flat frame is axis-aligned (n = z, t1 = x, t2 = y).
-            c["f_world"] = (ft1 * act_m, ft2 * act_m, fn * act_m)
-        else:
-            n_f, t1_f, t2_f = c["frame"]
-            fw = tuple(
-                fn * n_f[i] + ft1 * t1_f[i] + ft2 * t2_f[i] for i in range(3)
-            )
-            c["f_world"] = tuple(f * act_m for f in fw)
-
-    qacc = a_vec
-    return qacc, lam, cons
 
 
 def _emit_contacts_stream(
@@ -1317,17 +1049,34 @@ def _emit_contacts_stream(
 ):
     """Contact solve with a STREAMED (low-live-set) row representation.
 
-    Mathematically identical to :func:`_emit_contacts` (same rows, same
-    Hessian, same Newton/line-search schedule — only the evaluation order
-    differs, so results match to fp reassociation). The fused emitter
-    materializes every per-row Jacobian entry (ncand x nrows x |path| lane
-    values live through the whole Newton solve); this variant stores only
-    per-candidate scalars (contact frame, rel offset, D, aref) and
-    RECOMPUTES the per-DoF Jacobian components
+    Mathematically identical to :func:`_emit_contacts` (one shared
+    implementation, :func:`_contacts_impl` — bit-identical modulo the
+    comps caching, which only changes WHEN values are computed, not what).
+    The fused emitter holds ncand x ndirs x |path| direction-component
+    lane values live through the whole Newton solve; this variant stores
+    only per-candidate scalars (contact frame, rel offset, D, aref, jar
+    rows) and RECOMPUTES the per-DoF Jacobian components
     jp_d = S_v[d] + S_w[d] x rel from the motion subspace at each use —
     ~1.2x the emitted ops for a much smaller Mosaic value stack. Opt-in
     via ``_Static.stream`` (FLYGYM_TPU_MEGASTEP_STREAM); useful when a
     model's fused stack estimate approaches the VMEM ceiling.
+    """
+    return _contacts_impl(
+        st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
+        terrain, cache_comps=False,
+    )
+
+
+def _contacts_impl(
+    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
+    terrain, cache_comps,
+):
+    """Shared contact solver: candidate rows + tree-LDL + frozen-Hessian
+    primal Newton with incremental iterates and bisection line search, on
+    lane vectors. ``cache_comps`` picks the fused (cache the per-candidate
+    direction components) vs streamed (recompute them at each use)
+    evaluation order; everything else is one code path, so the two
+    emitters cannot drift apart.
     """
     nv = st.nv
 
@@ -1450,6 +1199,16 @@ def _emit_contacts_stream(
             out.append(p["n"] - mu * p[t])
         return out
 
+    def get_comps(c):
+        """Direction components for candidate c — cached (fused) or
+        recomputed at each use (streamed)."""
+        if not cache_comps:
+            return dof_components(c)
+        cached = c.get("comps")
+        if cached is None:
+            cached = c["comps"] = dof_components(c)
+        return cached
+
     def jar_grad_pass(c, a_vec, grad_con, with_hessian=None, with_aref=False,
                       use_cached_jar=False):
         """One streamed pass over candidate c at iterate a_vec.
@@ -1461,7 +1220,7 @@ def _emit_contacts_stream(
         maintained ``c["jar_cur"]`` (jar + α·Jδ from the line search) is
         reused instead of re-projecting a_vec through the Jacobian.
         """
-        comps = dof_components(c)
+        comps = get_comps(c)
         if with_aref:
             pv = products(c, comps, v)
             vel_rows = row_combos(c, pv)
@@ -1568,14 +1327,14 @@ def _emit_contacts_stream(
             dMd = dMd + delta[d] * Md[d]
             gMd = gMd + a_vec[d] * Md[d] - qfrc[d] * delta[d]
         for c in cons:
-            comps = dof_components(c)
-            c["jd_cur"] = row_combos(c, products(c, comps, delta))
+            c["jd_cur"] = row_combos(c, products(c, get_comps(c), delta))
         # Bisection line search with final regula falsi (same algorithm as
-        # the fused emitter / engine _exact_linesearch — see the fused
-        # emitter for why bisection and not 1D Newton). Unlike the fused
-        # emitter, the per-row D·Jd product is recomputed inside each of
-        # the ~10 evaluations rather than cached — keeps the streamed
-        # variant's value stack at jar/jd only (its whole reason to exist).
+        # the engine's _exact_linesearch — see there for why bisection and
+        # not 1D Newton: bisection feeds back only the SIGN of φ', keeping
+        # engine and emitter trajectories in lockstep under ~1-ulp fp
+        # differences). The per-row D·Jd product is recomputed inside each
+        # of the ~10 evaluations rather than cached — jar/jd rows stay the
+        # only per-row values live across the search.
         # t_ = D·jd matches the fused emitter's cached p_ bit-for-bit: m_
         # is exactly 0/1, so the products associate identically and the
         # two emitters stay bit-comparable through the line search.
