@@ -17,9 +17,30 @@ import jax.numpy as jnp
 from flygym_tpu.engine.maths import quat_conj, quat_rotate, quat_to_mat
 from flygym_tpu.engine.model import PhysicsModel
 
-__all__ = ["camera_rays", "raycast_scene", "render_pixels"]
+__all__ = ["camera_rays", "raycast_scene", "render_pixels", "default_lights"]
 
 _BIG = 1e30
+
+
+def default_lights(dtype=jnp.float32):
+    """The default scene lighting: one shadow-casting directional sun.
+
+    Matches the renderer's historical fixed sun (diffuse weight 0.50,
+    white specular) so ``lights=None`` and ``lights=default_lights()``
+    produce the same image.
+    """
+    sun = jnp.array([0.3, 0.2, 0.93], dtype)
+    sun = sun / jnp.linalg.norm(sun)
+    return (
+        {
+            "kind": "directional",
+            "vec": -sun,  # direction the light travels
+            "color": jnp.full((3,), 0.50, dtype),
+            "specular": jnp.ones((3,), dtype),
+            "cast_shadow": True,
+            "falloff": 30.0,
+        },
+    )
 
 
 def camera_rays(height: int, width: int, fovy_deg: float, dtype=jnp.float32):
@@ -412,6 +433,7 @@ def render_pixels(
     ground_texture: jnp.ndarray | None = None,
     ground_texture_period: float = 10.0,
     sky_texture: jnp.ndarray | None = None,
+    lights=None,
 ):
     """Render one RGB frame (H, W, 3) float in [0, 1].
 
@@ -420,6 +442,17 @@ def render_pixels(
     procedural body-local speckle texture on fly geoms and checkerboard +
     noise-tinted ground (the reference renders MuJoCo GL textures/materials,
     ``rendering.py:16-268``; terrains tint by height).
+
+    Multi-light: pass ``lights`` as a sequence of dicts — the analog of
+    MuJoCo's scene lights (the reference's batch renderer adds per-fly
+    overhead lights, ``warp/rendering.py:385-441``). Each light:
+    ``kind`` "directional" (``vec`` = travel direction) or "point"
+    (``vec`` = world position, inverse-square attenuation with
+    characteristic distance ``falloff`` mm), ``color`` (3,) diffuse RGB,
+    optional ``specular`` (3,) RGB (defaults to ``color``), and
+    ``cast_shadow`` (soft capsule shadows; point-light shadow rays ignore
+    occluders beyond the light — a fine approximation at fly scale).
+    ``lights=None`` uses :func:`default_lights` (the fixed sun).
 
     Image textures (the analog of MuJoCo GL's file textures): pass
     ``ground_texture`` (H, W, 3) to replace the procedural checkerboard —
@@ -504,33 +537,53 @@ def render_pixels(
         jnp.where((geom_idx == -1)[:, None], ground_rgb, sky_rgb),
     )
 
-    # Lighting: fixed sun + camera headlight fill + soft capsule shadows.
-    # The shadow sweep only needs the capsules (the ground plane cannot
-    # shadow itself) — one extra chunked sweep, no heightfield march.
-    sun = jnp.array([0.3, 0.2, 0.93], dtype)
-    sun = sun / jnp.linalg.norm(sun)
+    # Lighting: per-light Lambertian + Blinn-Phong with soft capsule
+    # shadows, plus a camera-headlight ambient fill. The shadow sweeps only
+    # need the capsules (the ground plane cannot shadow itself) — one extra
+    # chunked sweep per shadow-casting light, no heightfield march.
+    if lights is None:
+        lights = default_lights(dtype)
     p0, p1, radius = _capsule_segments(model, gpos, gquat)
     shadow_orig = hit_p + 1e-2 * normal  # mm-scale scene: 10 µm bias
-    sun_dirs = jnp.broadcast_to(sun, shadow_orig.shape)
-    penumbra = _soft_shadow_capsules(
-        p0, p1, radius, capsule_mask, shadow_orig, sun_dirs
-    )
-    lit = 0.35 + 0.65 * penumbra  # never fully black in the umbra
-
-    diffuse = jnp.maximum(jnp.sum(normal * sun, axis=-1), 0.0)
-    headlight = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
-    shade = 0.30 + 0.25 * headlight + 0.50 * diffuse * lit
-    # Blinn-Phong specular from the sun (shadowed): wet-cuticle highlight
-    # on the fly, subtle sheen on the ground.
-    half_v = sun - dirs
-    half_v = half_v / jnp.maximum(
-        jnp.linalg.norm(half_v, axis=-1, keepdims=True), 1e-9
-    )
-    spec_dot = jnp.maximum(jnp.sum(normal * half_v, axis=-1), 0.0)
     ks = jnp.where(geom_idx >= 0, 0.35, 0.06)
-    spec = ks * spec_dot**32 * lit
-    rgb = base * jnp.where((geom_idx == -2)[:, None], 1.0, shade[:, None])
-    rgb = rgb + jnp.where(geom_idx == -2, 0.0, spec)[:, None]
+    headlight = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
+    shade_rgb = jnp.broadcast_to(
+        (0.30 + 0.25 * headlight)[:, None], hit_p.shape
+    )
+    spec_rgb = jnp.zeros_like(hit_p)
+    for li in lights:
+        vec = jnp.asarray(li["vec"], dtype)
+        if li["kind"] == "directional":
+            l_dir = -vec / jnp.maximum(jnp.linalg.norm(vec), 1e-9)
+            l_dirs = jnp.broadcast_to(l_dir, hit_p.shape)
+            atten = jnp.ones_like(t)
+        else:  # point light
+            to_l = vec - hit_p
+            dist = jnp.maximum(jnp.linalg.norm(to_l, axis=-1), 1e-9)
+            l_dirs = to_l / dist[:, None]
+            fall = jnp.asarray(li.get("falloff", 30.0), dtype)
+            atten = 1.0 / (1.0 + (dist / fall) ** 2)
+        if li.get("cast_shadow", True):
+            penumbra = _soft_shadow_capsules(
+                p0, p1, radius, capsule_mask, shadow_orig, l_dirs
+            )
+            lit = 0.35 + 0.65 * penumbra  # never fully black in the umbra
+        else:
+            lit = jnp.ones_like(t)
+        color = jnp.asarray(li["color"], dtype)
+        spec_c = jnp.asarray(li.get("specular", color), dtype)
+        diffuse = jnp.maximum(jnp.sum(normal * l_dirs, axis=-1), 0.0)
+        shade_rgb = shade_rgb + color * (diffuse * lit * atten)[:, None]
+        # Blinn-Phong specular (shadowed): wet-cuticle highlight on the
+        # fly, subtle sheen on the ground.
+        half_v = l_dirs - dirs
+        half_v = half_v / jnp.maximum(
+            jnp.linalg.norm(half_v, axis=-1, keepdims=True), 1e-9
+        )
+        spec_dot = jnp.maximum(jnp.sum(normal * half_v, axis=-1), 0.0)
+        spec_rgb = spec_rgb + spec_c * (ks * spec_dot**32 * lit * atten)[:, None]
+    rgb = base * jnp.where((geom_idx == -2)[:, None], 1.0, shade_rgb)
+    rgb = rgb + jnp.where((geom_idx == -2)[:, None], 0.0, spec_rgb)
 
     # Subtle distance fog on the ground for depth perception.
     fog = jnp.clip(t / 60.0, 0.0, 1.0)

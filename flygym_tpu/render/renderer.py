@@ -80,6 +80,7 @@ class Renderer:
         ground_texture=None,
         ground_texture_period: float = 10.0,
         sky_texture=None,
+        lights: Sequence[dict] | None = None,
         **kwargs: Any,
     ) -> None:
         self.model = model
@@ -127,6 +128,18 @@ class Renderer:
         self._ground_texture = _load_texture(ground_texture)
         self._ground_texture_period = float(ground_texture_period)
         self._sky_texture = _load_texture(sky_texture)
+        # Scene lights (the analog of MuJoCo scene lights; the reference's
+        # batch renderer adds per-fly overhead lights,
+        # ``warp/rendering.py:385-441``). Each spec: kind
+        # "directional" (dir=travel direction) or "point" (pos, falloff mm);
+        # color (scalar or RGB); optional specular; cast_shadow (default
+        # True); and for point lights an optional target body name whose
+        # world position (plus offset) the light follows every frame.
+        self._lights = None
+        if lights is not None:
+            self._lights = tuple(
+                self._resolve_light(dict(li)) for li in lights
+            )
 
         self._render_fn = jax.jit(self._render_one_camera, static_argnums=(0,))
         # One device call renders all selected worlds (the reference's GPU
@@ -156,6 +169,59 @@ class Renderer:
                     return cam
             raise ValueError(f"Camera '{camera}' not found in the world.")
         raise TypeError(f"Invalid camera spec: {camera!r}")
+
+    def _resolve_light(self, li: dict) -> dict:
+        """Normalize a user light spec to static fields + jnp arrays."""
+        kind = li.get("kind", "directional")
+        if kind not in ("directional", "point"):
+            raise ValueError(f"Unknown light kind {kind!r}")
+        color = np.asarray(li.get("color", 0.5), np.float32)
+        if color.ndim == 0:
+            color = np.full((3,), float(color), np.float32)
+        out = {
+            "kind": kind,
+            "color": jnp.asarray(color),
+            "cast_shadow": bool(li.get("cast_shadow", True)),
+            "falloff": float(li.get("falloff", 30.0)),
+            "target_id": None,
+            "offset": jnp.asarray(
+                np.asarray(li.get("offset", (0.0, 0.0, 0.0)), np.float32)
+            ),
+        }
+        if "specular" in li:
+            spec = np.asarray(li["specular"], np.float32)
+            if spec.ndim == 0:
+                spec = np.full((3,), float(spec), np.float32)
+            out["specular"] = jnp.asarray(spec)
+        target = li.get("target")
+        if target is not None:
+            if kind != "point":
+                raise ValueError("Only point lights can track a target body")
+            out["target_id"] = self.world.compiled.body_name2id[target]
+            out["vec"] = None
+        else:
+            key = "dir" if kind == "directional" else "pos"
+            if key not in li and "vec" not in li:
+                raise ValueError(f"Light needs {key!r} (or a target body)")
+            out["vec"] = jnp.asarray(
+                np.asarray(li.get(key, li.get("vec")), np.float32)
+            )
+        return out
+
+    def _concrete_lights(self, state: State):
+        """Per-frame light list: resolve target-tracking point lights
+        against the current body positions."""
+        if self._lights is None:
+            return None
+        out = []
+        for li in self._lights:
+            li = dict(li)
+            tid = li.pop("target_id")
+            offset = li.pop("offset")
+            if tid is not None:
+                li["vec"] = state.xpos[tid] + offset
+            out.append(li)
+        return tuple(out)
 
     def _camera_pose(self, cam: CameraSpec, state: State):
         """Camera world pose per MuJoCo camera-mode semantics.
@@ -215,6 +281,7 @@ class Renderer:
             ground_texture=self._ground_texture,
             ground_texture_period=self._ground_texture_period,
             sky_texture=self._sky_texture,
+            lights=self._concrete_lights(state),
         )
 
     # -- public API --------------------------------------------------------

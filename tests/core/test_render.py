@@ -436,3 +436,85 @@ class TestMeshFidelity:
         arr = next(iter(frames.values()))
         assert np.asarray(arr).shape[-3:] == (40, 52, 3)
         assert np.isfinite(np.asarray(arr)).all()
+
+
+class TestLights:
+    """Multi-light shading (reference batch rendering adds per-fly overhead
+    lights, ``warp/rendering.py:385-441``)."""
+
+    def test_default_matches_explicit_sun(self, sim):
+        from flygym_tpu.render.raycast import default_lights
+
+        sim.reset()
+        r_def = flygym_tpu.render.Renderer(
+            sim.model, sim.world, "trackcam", camera_res=(40, 56)
+        )
+        r_sun = flygym_tpu.render.Renderer(
+            sim.model, sim.world, "trackcam", camera_res=(40, 56),
+            lights=[
+                {
+                    "kind": "directional",
+                    "dir": np.asarray(default_lights()[0]["vec"]),
+                    "color": 0.5,
+                    "specular": 1.0,
+                }
+            ],
+        )
+        f_def = next(iter(r_def.render(sim.state).values()))
+        f_sun = next(iter(r_sun.render(sim.state).values()))
+        assert np.abs(f_def.astype(int) - f_sun.astype(int)).max() <= 1
+
+    def test_colored_point_light_tints_scene(self, sim):
+        sim.reset()
+        red = flygym_tpu.render.Renderer(
+            sim.model, sim.world, "trackcam", camera_res=(40, 56),
+            lights=[
+                {
+                    "kind": "point",
+                    "pos": (0.0, 0.0, 8.0),
+                    "color": (1.2, 0.1, 0.1),
+                    "cast_shadow": False,
+                }
+            ],
+        )
+        frame = next(iter(red.render(sim.state).values())).astype(float)
+        ground = frame[30:, :, :]  # bottom rows: lit ground
+        assert ground[..., 0].mean() > ground[..., 2].mean() + 10
+
+    def test_target_tracking_overhead_light(self, sim):
+        sim.reset()
+        root = f"{FLY}/c_thorax"
+        r = flygym_tpu.render.Renderer(
+            sim.model, sim.world, "trackcam", camera_res=(40, 56),
+            lights=[
+                {
+                    "kind": "point",
+                    "target": root,
+                    "offset": (0.0, 0.0, 10.0),
+                    "color": 0.8,
+                },
+                {"kind": "directional", "dir": (0.2, 0.1, -0.97),
+                 "color": 0.3, "cast_shadow": False},
+            ],
+        )
+        frame = next(iter(r.render(sim.state).values()))
+        assert frame.shape == (40, 56, 3)
+        assert np.isfinite(frame.astype(float)).all()
+        assert frame.std() > 5
+
+    def test_bad_light_specs_raise(self, sim):
+        with pytest.raises(ValueError):
+            flygym_tpu.render.Renderer(
+                sim.model, sim.world, "trackcam",
+                lights=[{"kind": "spot", "dir": (0, 0, -1)}],
+            )
+        with pytest.raises(ValueError):
+            flygym_tpu.render.Renderer(
+                sim.model, sim.world, "trackcam",
+                lights=[{"kind": "directional", "target": f"{FLY}/c_thorax"}],
+            )
+        with pytest.raises(ValueError):
+            flygym_tpu.render.Renderer(
+                sim.model, sim.world, "trackcam",
+                lights=[{"kind": "point", "color": 1.0}],
+            )
