@@ -114,8 +114,9 @@ def _est_stream_mb(model) -> float:
 
     Live set: motion subspace S (6nv), body frames (7nbody), the three
     tree-sparse matrices Mh/H/Ld (~3 x pair_keys), solver vectors (~4nv),
-    ~34 persistent lane scalars per contact candidate, plus the same
-    double-buffered block I/O term as the fused kernel.
+    ~38 persistent lane scalars per contact candidate (incl. the hoisted
+    D·jd line-search rows), plus the same double-buffered block I/O term
+    as the fused kernel.
     """
     npairs = model.nv + sum(len(c) for c in model.dof_chains)
     lanes = (
@@ -123,7 +124,7 @@ def _est_stream_mb(model) -> float:
         + 7 * model.nbody
         + 3 * npairs
         + 4 * model.nv
-        + 34 * model.ncand
+        + 38 * model.ncand
     )
     return 12.0 + lanes / 256.0 + (_est_scoped_mb(model) - 20.0
                                    - 0.25 * model.nv - 0.11 * model.ncand)
@@ -1273,16 +1274,33 @@ def _contacts_impl(
                     Bt[t] = mu * (wa[2 * ti] - wa[2 * ti + 1])
                     Wt[t] = mu * mu * (wa[2 * ti] + wa[2 * ti + 1])
             path = c["path"]
-            for i_ in range(len(path)):
-                for j_ in range(i_, len(path)):
+            # The per-pair fill value is g_iᵀ Σ g_j with g = (n, d_t1, …)
+            # and Σ the small symmetric weight matrix [[W, Bt…], [Bt, Wt
+            # diag]]. Precomputing u_j = Σ g_j per path dof turns each
+            # pair into one (1+T)-dot — ~19 → ~6 lane ops per pair at
+            # condim 3, and the fill is O(|path|²) so this is the top
+            # op-count block of the whole kernel.
+            u_of = {}
+            npath = len(path)
+            u_of["n"] = [None] * npath
+            for t in tags:
+                u_of[t] = [None] * npath
+            for j_ in range(npath):
+                nj = comps["n"][j_]
+                un = W * nj
+                for t in tags:
+                    dj = comps[t][j_]
+                    un = un + Bt[t] * dj
+                    u_of[t][j_] = Bt[t] * nj + Wt[t] * dj
+                u_of["n"][j_] = un
+            for i_ in range(npath):
+                for j_ in range(i_, npath):
                     k = key(path[i_], path[j_])
                     if k is None:  # cross-tree fill-in: dropped
                         continue
-                    ni, nj = comps["n"][i_], comps["n"][j_]
-                    val = W * ni * nj
+                    val = comps["n"][i_] * u_of["n"][j_]
                     for t in tags:
-                        di, dj = comps[t][i_], comps[t][j_]
-                        val = val + Bt[t] * (ni * dj + di * nj) + Wt[t] * di * dj
+                        val = val + comps[t][i_] * u_of[t][j_]
                     H[k] = H[k] + val
         return comps
 
@@ -1328,24 +1346,24 @@ def _contacts_impl(
             gMd = gMd + a_vec[d] * Md[d] - qfrc[d] * delta[d]
         for c in cons:
             c["jd_cur"] = row_combos(c, products(c, get_comps(c), delta))
+            # D·jd is invariant across the ~10 line-search evaluations —
+            # hoist it (in streamed mode too: one extra per-row value live
+            # through the search buys 10 fewer multiplies per row).
+            c["djd_cur"] = [c["D"] * jd for jd in c["jd_cur"]]
         # Bisection line search with final regula falsi (same algorithm as
         # the engine's _exact_linesearch — see there for why bisection and
         # not 1D Newton: bisection feeds back only the SIGN of φ', keeping
         # engine and emitter trajectories in lockstep under ~1-ulp fp
-        # differences). The per-row D·Jd product is recomputed inside each
-        # of the ~10 evaluations rather than cached — jar/jd rows stay the
-        # only per-row values live across the search.
-        # t_ = D·jd matches the fused emitter's cached p_ bit-for-bit: m_
-        # is exactly 0/1, so the products associate identically and the
-        # two emitters stay bit-comparable through the line search.
+        # differences).
+        # t_ = D·jd is the same product the engine computes: m_ is exactly
+        # 0/1, so the sums associate identically and engine and emitters
+        # stay bit-comparable through the line search.
         def _dphi(alpha, at_zero=False):
             d_ = gMd if at_zero else gMd + alpha * dMd
             for c in cons:
-                D_ = c["D"]
-                for jr, jd in zip(c["jar_cur"], c["jd_cur"]):
+                for jr, jd, t_ in zip(c["jar_cur"], c["jd_cur"], c["djd_cur"]):
                     ja = jr if at_zero else jr + alpha * jd
                     m_ = jnp.where(ja < 0.0, 1.0, 0.0)
-                    t_ = D_ * jd
                     d_ = d_ + m_ * t_ * ja
             return d_
 
