@@ -860,7 +860,7 @@ def _muscle_force_lane(st, u, length, vel, a_slot, z):
     return gain * a_slot + bias
 
 
-def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one):
+def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
     """Per-candidate contact geometry + constraint-dynamics scalars.
 
     Rows [0, ncand - ncand_pair) are capsule-end vs ground (flat plane or
@@ -874,9 +874,15 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one):
     cpos, rel (= cpos - ref), active, imp, pos_err, b_gain, k_gain,
     frame ((n, t1, t2) or None for the axis-aligned flat frame), mu,
     invweight, adh, sensor.
+
+    ``geom_cache`` (dict, shared across a step's candidates) memoizes the
+    world geom pose: both endpoint candidates of a capsule — and every
+    pair row touching it — reuse one ~45-op pose computation.
     """
 
     def geom_world_frame(gi):
+        if geom_cache is not None and gi in geom_cache:
+            return geom_cache[gi]
         b_ = int(st.geom_body[gi])
         gp = st.geom_pos[gi]
         gq = st.geom_quat[gi]
@@ -896,7 +902,10 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one):
                 _const(gq[3], z),
             ),
         )
-        return b_, gpos, _qrot(gquat, (z, z, one))
+        out = (b_, gpos, _qrot(gquat, (z, z, one)))
+        if geom_cache is not None:
+            geom_cache[gi] = out
+        return out
 
     ng_rows = st.ncand - st.ncand_pair
     gi = int(st.can_geom[cidx])
@@ -1097,8 +1106,9 @@ def _contacts_impl(
         qacc = _tree_solve(st, Ld, dd, qfrc)
         return qacc, None, None
 
+    geom_cache = {}
     cons = [
-        _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one)
+        _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache)
         for cidx in range(st.ncand)
     ]
 
