@@ -141,6 +141,15 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
 
                 t_min = jnp.full((8, LANE), _BIG, jnp.float32)
                 idx = jnp.full((8, LANE), -2.0, jnp.float32)
+                # Winner segment data, carried via `where` as the sweep
+                # runs (saves a second all-geoms reconstruction loop).
+                zt = jnp.zeros((8, LANE), jnp.float32)
+                w_p0 = [zt, zt, zt]
+                w_ba = [zt, zt, zt]
+                w_ibaba = jnp.ones((8, LANE), jnp.float32)
+                cr = jnp.zeros((8, LANE), jnp.float32)
+                cg = jnp.zeros((8, LANE), jnp.float32)
+                cb = jnp.zeros((8, LANE), jnp.float32)
 
                 # Ground plane.
                 oz = opos[2][None, :]
@@ -195,41 +204,36 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
                     better = t_g < t_min
                     t_min = jnp.where(better, t_g, t_min)
                     idx = jnp.where(better, float(gi), idx)
+                    ibaba = 1.0 / jnp.maximum(baba, 1e-12)
+                    for k in range(3):
+                        w_p0[k] = jnp.where(better, p0[k][None, :], w_p0[k])
+                        w_ba[k] = jnp.where(better, ba[k][None, :], w_ba[k])
+                    w_ibaba = jnp.where(better, ibaba[None, :], w_ibaba)
+                    col = rgba[vis_geoms[gi]]
+                    cr = jnp.where(better, float(col[0]), cr)
+                    cg = jnp.where(better, float(col[1]), cg)
+                    cb = jnp.where(better, float(col[2]), cb)
 
-                # ---- winner reconstruction: normal + color ----
+                # ---- winner reconstruction: normal from the carried
+                # winner segment (ONE pass instead of re-sweeping geoms) ----
                 hx = opos[0][None, :] + t_min * rdx
                 hy = opos[1][None, :] + t_min * rdy
                 hz = opos[2][None, :] + t_min * rdz
-                nx = jnp.zeros((8, LANE), jnp.float32)
-                ny = jnp.zeros((8, LANE), jnp.float32)
-                nz = jnp.ones((8, LANE), jnp.float32)
-                cr = jnp.zeros((8, LANE), jnp.float32)
-                cg = jnp.zeros((8, LANE), jnp.float32)
-                cb = jnp.zeros((8, LANE), jnp.float32)
-                for gi, (p0, p1, r, ba, baba, *_rest) in enumerate(hoist):
-                    sel = idx == float(gi)
-                    inv = 1.0 / jnp.maximum(baba, 1e-12)
-                    s_ = (
-                        (hx - p0[0][None, :]) * ba[0][None, :]
-                        + (hy - p0[1][None, :]) * ba[1][None, :]
-                        + (hz - p0[2][None, :]) * ba[2][None, :]
-                    ) * inv[None, :]
-                    s_ = jnp.clip(s_, 0.0, 1.0)
-                    cxp = p0[0][None, :] + s_ * ba[0][None, :]
-                    cyp = p0[1][None, :] + s_ * ba[1][None, :]
-                    czp = p0[2][None, :] + s_ * ba[2][None, :]
-                    dx_ = hx - cxp
-                    dy_ = hy - cyp
-                    dz_ = hz - czp
-                    nrm = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-                    inv_n = 1.0 / jnp.maximum(nrm, 1e-12)
-                    nx = jnp.where(sel, dx_ * inv_n, nx)
-                    ny = jnp.where(sel, dy_ * inv_n, ny)
-                    nz = jnp.where(sel, dz_ * inv_n, nz)
-                    col = rgba[vis_geoms[gi]]
-                    cr = jnp.where(sel, float(col[0]), cr)
-                    cg = jnp.where(sel, float(col[1]), cg)
-                    cb = jnp.where(sel, float(col[2]), cb)
+                s_ = (
+                    (hx - w_p0[0]) * w_ba[0]
+                    + (hy - w_p0[1]) * w_ba[1]
+                    + (hz - w_p0[2]) * w_ba[2]
+                ) * w_ibaba
+                s_ = jnp.clip(s_, 0.0, 1.0)
+                dx_ = hx - (w_p0[0] + s_ * w_ba[0])
+                dy_ = hy - (w_p0[1] + s_ * w_ba[1])
+                dz_ = hz - (w_p0[2] + s_ * w_ba[2])
+                nrm = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+                inv_n = 1.0 / jnp.maximum(nrm, 1e-12)
+                is_geom = idx >= 0.0
+                nx = jnp.where(is_geom, dx_ * inv_n, 0.0)
+                ny = jnp.where(is_geom, dy_ * inv_n, 0.0)
+                nz = jnp.where(is_geom, dz_ * inv_n, 1.0)
                 # Ground checker / sky (matches vision._shade).
                 is_ground = idx == -1.0
                 is_sky = idx == -2.0
