@@ -81,6 +81,12 @@ def _est_scoped_mb(model) -> float:
       pipeline keeps 2x(n_in + n_out) (8, 128) tiles resident — the same
       kernel measures 101.36 MiB total at 4 grid blocks.
     """
+    # NOTE: constants measured on the pre-unification fused emitter (which
+    # materialized ~7x|path| row-Jacobian values per candidate); the
+    # current _contacts_impl holds ~3x|path| comps + per-row jar/jd/djd,
+    # so this over-estimates the stack — safe (the per-kernel VMEM limit
+    # is sized from it) but worth re-measuring on hardware since an
+    # oversized scoped region itself taxes throughput (see ROADMAP).
     stack = 20.0 + 0.25 * model.nv + 0.11 * model.ncand
     n_terrain = 4 * model.ncand if model.has_hfield else 0
     n_in = model.nq + 2 * model.nv + model.nu + model.na + n_terrain
@@ -742,7 +748,7 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
 
     # ---------------- contacts --------------------------------------------
     contacts_fn = _emit_contacts_stream if st.stream else _emit_contacts
-    qacc, lam_rows, con = contacts_fn(
+    qacc, con = contacts_fn(
         st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain
     )
 
@@ -1104,7 +1110,7 @@ def _contacts_impl(
     if st.ncand == 0:
         Ld, dd = _tree_ldl(st, Mh, z)
         qacc = _tree_solve(st, Ld, dd, qfrc)
-        return qacc, None, None
+        return qacc, None
 
     geom_cache = {}
     cons = [
@@ -1336,8 +1342,8 @@ def _contacts_impl(
         H[(d, d)] = H[(d, d)] + 1e-9
     Ld, dd = _tree_ldl(st, H, z)
 
-    # ---- Newton refinements with grid line search (same schedule as the
-    # fused emitter) ----
+    # ---- Newton refinements (frozen Hessian + bisection/regula-falsi
+    # line search, the engine's _exact_linesearch schedule) ----
     Ma = Mh_mul(a_vec)
     for it in range(max(st.solver_iterations, 1)):
         if it > 0:
@@ -1430,7 +1436,7 @@ def _contacts_impl(
             c["f_world"] = tuple(f * act_m for f in fw)
 
     qacc = a_vec
-    return qacc, None, cons
+    return qacc, cons
 
 
 def _tree_ldl(st, A, z):

@@ -175,13 +175,19 @@ def _capsule_segments(model, gpos, gquat):
     return p0, p1, radius
 
 
-def _soft_shadow_capsules(p0, p1, radius, capsule_mask, origins, directions, k=24.0):
+def _soft_shadow_capsules(
+    p0, p1, radius, capsule_mask, origins, directions, k=24.0, max_t=None
+):
     """Penumbra factor per shadow ray in [0, 1] (0 = fully occluded).
 
     One chunked sweep computing, per geom, the ray↔capsule-surface closest
     approach (classic SDF soft-shadow estimate ``k * miss / t`` without the
     march): rays that graze a capsule darken smoothly instead of the hard
     umbra cutoff. Same cost shape as :func:`_nearest_capsule_hit`.
+
+    ``max_t`` (per-ray, optional) bounds the occluder search — point-light
+    shadow rays pass the surface-to-light distance so capsules beyond the
+    light cannot darken the pixel.
     """
     R = origins.shape[0]
     CHUNK = 8
@@ -215,6 +221,8 @@ def _soft_shadow_capsules(p0, p1, radius, capsule_mask, origins, directions, k=2
         # meets the ground (mm-scale scene; floor = 0.2 mm).
         geom_pen = jnp.clip(k * miss / jnp.maximum(t, 0.2), 0.0, 1.0)
         geom_pen = jnp.where(capsule_mask[None, c0:c1] > 0, geom_pen, 1.0)
+        if max_t is not None:
+            geom_pen = jnp.where(t > max_t[:, None], 1.0, geom_pen)
         pen = jnp.minimum(pen, jnp.min(geom_pen, axis=1))
     return pen
 
@@ -450,8 +458,9 @@ def render_pixels(
     (``vec`` = world position, inverse-square attenuation with
     characteristic distance ``falloff`` mm), ``color`` (3,) diffuse RGB,
     optional ``specular`` (3,) RGB (defaults to ``color``), and
-    ``cast_shadow`` (soft capsule shadows; point-light shadow rays ignore
-    occluders beyond the light — a fine approximation at fly scale).
+    ``cast_shadow`` (soft capsule shadows; point-light shadow rays are
+    bounded at the surface-to-light distance so occluders beyond the
+    light never darken a pixel).
     ``lights=None`` uses :func:`default_lights` (the fixed sun).
 
     Image textures (the analog of MuJoCo GL's file textures): pass
@@ -557,15 +566,18 @@ def render_pixels(
             l_dir = -vec / jnp.maximum(jnp.linalg.norm(vec), 1e-9)
             l_dirs = jnp.broadcast_to(l_dir, hit_p.shape)
             atten = jnp.ones_like(t)
+            l_dist = None
         else:  # point light
             to_l = vec - hit_p
             dist = jnp.maximum(jnp.linalg.norm(to_l, axis=-1), 1e-9)
             l_dirs = to_l / dist[:, None]
             fall = jnp.asarray(li.get("falloff", 30.0), dtype)
             atten = 1.0 / (1.0 + (dist / fall) ** 2)
+            l_dist = dist
         if li.get("cast_shadow", True):
             penumbra = _soft_shadow_capsules(
-                p0, p1, radius, capsule_mask, shadow_orig, l_dirs
+                p0, p1, radius, capsule_mask, shadow_orig, l_dirs,
+                max_t=l_dist,
             )
             lit = 0.35 + 0.65 * penumbra  # never fully black in the umbra
         else:

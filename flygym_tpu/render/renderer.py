@@ -197,7 +197,13 @@ class Renderer:
         if target is not None:
             if kind != "point":
                 raise ValueError("Only point lights can track a target body")
-            out["target_id"] = self.world.compiled.body_name2id[target]
+            name2id = self.world.compiled.body_name2id
+            if target not in name2id:
+                raise ValueError(
+                    f"Light target body {target!r} not found in the world "
+                    f"(valid names look like 'flyname/c_thorax')."
+                )
+            out["target_id"] = name2id[target]
             out["vec"] = None
         else:
             key = "dir" if kind == "directional" else "pos"

@@ -17,13 +17,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from flygym_tpu.demo.benchmark import make_model
-from flygym_tpu.simulation import Simulation
 
 
 def build(solver_iters=None, no_contact=False):
+    # NOTE: the compiled default is solver_iterations=2 (compose/spec.py),
+    # so iteration counts are always set explicitly here.
     fly, world, cam = make_model()
     if solver_iters is not None:
         world.spec.options["solver_iterations"] = solver_iters
@@ -52,9 +52,9 @@ def main():
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 400
 
     variants = [
-        ("full (iters=3)", dict()),
+        ("iters=3", dict(solver_iters=3)),
         ("iters=1", dict(solver_iters=1)),
-        ("no contact", dict(no_contact=True)),
+        ("no contact", dict(no_contact=True, solver_iters=3)),
     ]
     results = {}
     for name, kw in variants:
@@ -63,12 +63,10 @@ def main():
         results[name] = wps
         print(f"{name:20s} {wps:12,.0f} w/s", flush=True)
 
-    full = results["full (iters=3)"]
-    t_full = 1.0 / full
-    per_iter = (1.0 / results["iters=1"] - t_full) / -2.0  # t_full has 2 extra iters
+    t_full = 1.0 / results["iters=3"]
     t_iter = (t_full - 1.0 / results["iters=1"]) / 2.0
     t_contact = t_full - 1.0 / results["no contact"]
-    print(f"\nper-world-step: full {t_full*1e9:.1f} ns")
+    print(f"\nper-world-step: iters=3 {t_full*1e9:.1f} ns")
     print(f"  contact section total : {t_contact/t_full*100:5.1f}%")
     print(f"  per Newton iteration  : {t_iter/t_full*100:5.1f}%")
 
