@@ -171,6 +171,10 @@ class VectorFlyEnv:
             self._state0, qpos=self._state0.qpos + noise
         )
 
+    def reset_batched(self, key: jnp.ndarray, n_envs: int) -> State:
+        """(B,)-batched fresh states (one RNG stream per env)."""
+        return jax.vmap(self.reset)(jax.random.split(key, n_envs))
+
     def step(self, state: State, action: dict):
         """Apply an action and advance ``decision_interval`` physics steps.
 
@@ -206,7 +210,8 @@ class VectorFlyEnv:
         fallen = state.xpos[self._root_body, 2] < 0.2
         return reward, flipped | fallen
 
-    def make_batched_step(self, *, interpret: bool = False):
+    def make_batched_step(self, *, interpret: bool = False,
+                          auto_reset: bool = False):
         """TPU-native batched env step: (B,) states + batched action dict →
         ``(states, obs, reward, done, info)`` with every leaf batched.
 
@@ -215,6 +220,12 @@ class VectorFlyEnv:
         the Pallas retina kernel on the TPU backend (vmapped jnp elsewhere)
         — the full-rate RL training path for thousands of environments.
         The returned function is jitted and usable inside ``lax.scan``.
+
+        With ``auto_reset=True`` the returned function takes an extra
+        ``key`` argument; environments that finished are replaced by fresh
+        reset states and the returned observation corresponds to the
+        post-reset state (gymnax/brax vectorized-training semantics) while
+        ``reward``/``done`` report the terminating step.
         """
         from flygym_tpu.ops.megastep import maybe_make_megastep
 
@@ -238,8 +249,7 @@ class VectorFlyEnv:
         observe_rest = jax.vmap(lambda s: self.observe(s, include_vision=False))
         reward_done = jax.vmap(self._reward_done)
 
-        @jax.jit
-        def step_batched(states: State, action: dict):
+        def _advance(states: State, action: dict):
             ctrl = states.ctrl.at[:, self._act_ids].set(action["joints"])
             adhesion = 1.0 + 99.0 * jnp.clip(action["adhesion"], 0.0, 1.0)
             ctrl = ctrl.at[:, self._adh_ids].set(adhesion)
@@ -251,13 +261,39 @@ class VectorFlyEnv:
             states, _ = jax.lax.scan(
                 body, states, None, length=self.decision_interval
             )
+            return states
+
+        def _observe(states: State):
             obs = observe_rest(states)
             if render is not None:
                 obs["vision"] = render(states)
-            reward, done = reward_done(states)
-            return states, obs, reward, done, {}
+            return obs
 
-        return step_batched
+        if not auto_reset:
+
+            @jax.jit
+            def step_batched(states: State, action: dict):
+                states = _advance(states, action)
+                reward, done = reward_done(states)
+                return states, _observe(states), reward, done, {}
+
+            return step_batched
+
+        @jax.jit
+        def step_batched_autoreset(states: State, action: dict, key):
+            states = _advance(states, action)
+            reward, done = reward_done(states)
+            n = states.qpos.shape[0]
+            fresh = self.reset_batched(key, n)
+
+            def pick(new, old):
+                mask = done.reshape((n,) + (1,) * (old.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            states = jax.tree.map(pick, fresh, states)
+            return states, _observe(states), reward, done, {}
+
+        return step_batched_autoreset
 
     def observe(self, state: State, include_vision: bool = True) -> dict:
         """Build the observation dict (flygym-1.x layout)."""

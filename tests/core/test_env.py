@@ -81,6 +81,40 @@ class TestVectorFlyEnv:
                 np.asarray(obs_b[k]), np.asarray(obs_v[k]), atol=1e-5, err_msg=k
             )
 
+    def test_auto_reset_replaces_done_envs(self, venv):
+        """auto_reset: finished envs come back as fresh reset states
+        (gymnax/brax vectorized-training semantics)."""
+        import dataclasses
+
+        n = 3
+        states = venv.reset_batched(jax.random.PRNGKey(0), n)
+        # Force env 1 upside down (root quat = 180° about x) so the next
+        # step reports done (flipped) and auto-resets it.
+        _b, qadr, _v = venv.model.free_joints[0]
+        qpos = states.qpos.at[1, qadr + 3 : qadr + 7].set(
+            jnp.array([0.0, 1.0, 0.0, 0.0])
+        )
+        qpos = qpos.at[1, qadr + 2].set(3.0)  # drop from above the ground
+        states = dataclasses.replace(states, qpos=qpos)
+        action = {
+            "joints": jnp.zeros((n, venv.n_actuated)),
+            "adhesion": jnp.ones((n, 6)),
+        }
+        step = venv.make_batched_step(auto_reset=True)
+        out_states, obs, reward, done, _ = step(
+            states, action, jax.random.PRNGKey(42)
+        )
+        done = np.asarray(done)
+        assert done[1] and not done[0] and not done[2]
+        # Env 1 was replaced by a fresh reset state (upright quaternion,
+        # time 0); the others kept stepping from where they were.
+        qw = np.asarray(out_states.qpos[:, qadr + 3])
+        assert abs(qw[1] - 1.0) < 0.05
+        assert float(np.asarray(out_states.time[1])) == 0.0
+        assert float(np.asarray(out_states.time[0])) > 0.0
+        # Observation reflects the post-reset state for env 1.
+        assert np.isfinite(np.asarray(obs["fly"])).all()
+
     def test_batched_step_vision(self):
         """Batched step with vision produces (B, 2, 721, 2) observations."""
         env = VectorFlyEnv(enable_vision=True, decision_interval=2)
