@@ -178,21 +178,6 @@ def _qmul(a, b):
     )
 
 
-def _qrot(q, v):
-    """Rotate 3-vector v by quaternion q (tuples of lane vectors)."""
-    w, x, y, z = q
-    vx, vy, vz = v
-    # t = 2 q_vec × v;  v' = v + w t + q_vec × t
-    tx = 2.0 * (y * vz - z * vy)
-    ty = 2.0 * (z * vx - x * vz)
-    tz = 2.0 * (x * vy - y * vx)
-    return (
-        vx + w * tx + (y * tz - z * ty),
-        vy + w * ty + (z * tx - x * tz),
-        vz + w * tz + (x * ty - y * tx),
-    )
-
-
 def _cross(a, b):
     ax, ay, az = a
     bx, by, bz = b
@@ -225,8 +210,101 @@ def _quat_to_mat(q):
     )
 
 
-def _const(val, like):
-    return jnp.full_like(like, float(val))
+# -- constant-folded variants: the second operand is a python float tuple --
+# Mosaic does not reliably fold multiplies by splat 0.0 / ±1.0, and the
+# model's constant frames are full of them (63/70 body quats are identity,
+# hinge axes are unit basis vectors, capsule quats have two zero
+# components), so these emit only the nonzero terms at trace time.
+
+_C_EPS = 1e-12
+
+
+def _comb(terms, z):
+    """Σ coef·val with exact-0 terms dropped and ±1 coefs multiply-free."""
+    out = None
+    for v, k in terms:
+        if abs(k) < _C_EPS:
+            continue
+        t = v if k == 1.0 else (-v if k == -1.0 else v * k)
+        out = t if out is None else out + t
+    return z if out is None else out
+
+
+def _is_ident_quat(c):
+    return (
+        abs(float(c[0]) - 1.0) < _C_EPS
+        and abs(float(c[1])) < _C_EPS
+        and abs(float(c[2])) < _C_EPS
+        and abs(float(c[3])) < _C_EPS
+    )
+
+
+def _qmul_c(a, c, z):
+    """a ∘ c with c a constant quaternion (python floats)."""
+    if _is_ident_quat(c):
+        return a
+    aw, ax, ay, az = a
+    cw, cx, cy, cz = (float(v) for v in c)
+    return (
+        _comb([(aw, cw), (ax, -cx), (ay, -cy), (az, -cz)], z),
+        _comb([(aw, cx), (ax, cw), (ay, cz), (az, -cy)], z),
+        _comb([(aw, cy), (ax, -cz), (ay, cw), (az, cx)], z),
+        _comb([(aw, cz), (ax, cy), (ay, -cx), (az, cw)], z),
+    )
+
+
+def _cross_c(a, c, z):
+    """a × c with c a constant 3-vector."""
+    ax, ay, az = a
+    cx, cy, cz = (float(v) for v in c)
+    return (
+        _comb([(ay, cz), (az, -cy)], z),
+        _comb([(az, cx), (ax, -cz)], z),
+        _comb([(ax, cy), (ay, -cx)], z),
+    )
+
+
+def _qrot_c(q, c, z):
+    """Rotate constant 3-vector c by lane quaternion q."""
+    cx, cy, cz = (float(v) for v in c)
+    if abs(cx) < _C_EPS and abs(cy) < _C_EPS and abs(cz) < _C_EPS:
+        return (z, z, z)
+    w, x, y, zc = q
+    qv = (x, y, zc)
+    t = _scale3(_cross_c(qv, (cx, cy, cz), z), 2.0)
+    u = _cross(qv, t)
+    out = []
+    for comp, cv in zip(range(3), (cx, cy, cz)):
+        val = w * t[comp] + u[comp]
+        if abs(cv) >= _C_EPS:
+            val = val + cv
+        out.append(val)
+    return tuple(out)
+
+
+def _qmul_sp(a, b, z):
+    """a ∘ b where b's components may be None (structurally zero lanes)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+
+    def comb(terms):
+        out = None
+        for u, v, s in terms:
+            if v is None:
+                continue
+            t = u * v
+            if out is None:
+                out = -t if s < 0 else t
+            else:
+                out = out - t if s < 0 else out + t
+        return z if out is None else out
+
+    return (
+        comb([(aw, bw, 1), (ax, bx, -1), (ay, by, -1), (az, bz, -1)]),
+        comb([(aw, bx, 1), (ax, bw, 1), (ay, bz, 1), (az, by, -1)]),
+        comb([(aw, by, 1), (ax, bz, -1), (ay, bw, 1), (az, bx, 1)]),
+        comb([(aw, bz, 1), (ax, by, 1), (ay, bx, -1), (az, bw, 1)]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -494,25 +572,32 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
             xquat[b] = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
             continue
         bq = st.body_quat[b]
-        base = _qmul(
-            xquat[p],
-            (_const(bq[0], z), _const(bq[1], z), _const(bq[2], z), _const(bq[3], z)),
-        )
-        cur = base
+        cur = _qmul_c(xquat[p], bq, z)
         for h in st.body_hinges[b]:
             ax = st.hinge_axis[h]
             # World hinge axis uses the rotation accumulated before the hinge.
-            a_w = _qrot(cur, (_const(ax[0], z), _const(ax[1], z), _const(ax[2], z)))
+            a_w = _qrot_c(cur, ax, z)
             hinge_xaxis[h] = a_w
             ang = q[int(st.hinge_qadr[h])]
             half = 0.5 * ang
             c_, s_ = jnp.cos(half), jnp.sin(half)
-            hq = (c_, s_ * _const(ax[0], z), s_ * _const(ax[1], z), s_ * _const(ax[2], z))
-            cur = _qmul(cur, hq)
+            # Hinge axes are (possibly sign-flipped) basis vectors: fold the
+            # structural zeros / ±1s of the local rotation quaternion.
+            hq = [c_, None, None, None]
+            for j in range(3):
+                aj = float(ax[j])
+                if abs(aj) < _C_EPS:
+                    continue
+                hq[j + 1] = (
+                    s_ if aj == 1.0 else (-s_ if aj == -1.0 else s_ * aj)
+                )
+            cur = _qmul_sp(cur, hq, z)
         xquat[b] = cur
         bp = st.body_pos[b]
-        off = _qrot(xquat[p], (_const(bp[0], z), _const(bp[1], z), _const(bp[2], z)))
-        xpos[b] = _add3(xpos[p], off)
+        if max(abs(float(v)) for v in bp) < _C_EPS:
+            xpos[b] = xpos[p]
+        else:
+            xpos[b] = _add3(xpos[p], _qrot_c(xquat[p], bp, z))
 
     ref = xpos[st.ref_body]
 
@@ -579,10 +664,7 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
     I_body = [None] * st.nbody
     for b in st.topo:
         iq = st.body_iquat[b]
-        qi = _qmul(
-            xquat[b],
-            (_const(iq[0], z), _const(iq[1], z), _const(iq[2], z), _const(iq[3], z)),
-        )
+        qi = _qmul_c(xquat[b], iq, z)
         R = _quat_to_mat(qi)
         I1, I2, I3 = (float(x) for x in st.body_inertia[b])
         # Ī = R diag(I) Rᵀ
@@ -597,10 +679,10 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
                 Ibar[j][i] = Ibar[i][j]
         m = float(st.body_mass[b])
         ip = st.body_ipos[b]
-        com = _add3(
-            xpos[b],
-            _qrot(xquat[b], (_const(ip[0], z), _const(ip[1], z), _const(ip[2], z))),
-        )
+        if max(abs(float(v)) for v in ip) < _C_EPS:
+            com = xpos[b]
+        else:
+            com = _add3(xpos[b], _qrot_c(xquat[b], ip, z))
         c = _sub3(com, ref)
         cx, cy, cz = c
         # m c× c×ᵀ = m (|c|² δ - c cᵀ)
@@ -680,10 +762,14 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
         Mh[(a_, d)] = val
 
     # ---------------- RNEA bias (reverse-topo force accumulation) ---------
-    g = st.gravity
+    g = tuple(float(v) for v in st.gravity)
     f_sub = [None] * st.nbody
     for b in st.topo:
-        acc = m6_add(cacc[b], ((z, z, z), (-_const(g[0], z), -_const(g[1], z), -_const(g[2], z))))
+        glin = tuple(
+            cacc[b][1][k] - g[k] if abs(g[k]) >= _C_EPS else cacc[b][1][k]
+            for k in range(3)
+        )
+        acc = (cacc[b][0], glin)
         Ia = I_mul(I_body[b], acc)
         Iv = I_mul(I_body[b], cvel[b])
         w_, v_ = cvel[b]
@@ -799,9 +885,10 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
     for s in range(st.nsite):
         b = int(st.site_body[s])
         sp = st.site_pos[s]
-        site_xpos.append(
-            _add3(xpos[b], _qrot(xquat[b], (_const(sp[0], z), _const(sp[1], z), _const(sp[2], z))))
-        )
+        if max(abs(float(v)) for v in sp) < _C_EPS:
+            site_xpos.append(xpos[b])
+        else:
+            site_xpos.append(_add3(xpos[b], _qrot_c(xquat[b], sp, z)))
 
     sensordata = _emit_sensors(st, con, z, one)
 
@@ -892,23 +979,12 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
         b_ = int(st.geom_body[gi])
         gp = st.geom_pos[gi]
         gq = st.geom_quat[gi]
-        gpos = _add3(
-            xpos[b_],
-            _qrot(
-                xquat[b_],
-                (_const(gp[0], z), _const(gp[1], z), _const(gp[2], z)),
-            ),
-        )
-        gquat = _qmul(
-            xquat[b_],
-            (
-                _const(gq[0], z),
-                _const(gq[1], z),
-                _const(gq[2], z),
-                _const(gq[3], z),
-            ),
-        )
-        out = (b_, gpos, _qrot(gquat, (z, z, one)))
+        if max(abs(float(v)) for v in gp) < _C_EPS:
+            gpos = xpos[b_]
+        else:
+            gpos = _add3(xpos[b_], _qrot_c(xquat[b_], gp, z))
+        gquat = _qmul_c(xquat[b_], gq, z)
+        out = (b_, gpos, _qrot_c(gquat, (0.0, 0.0, 1.0), z))
         if geom_cache is not None:
             geom_cache[gi] = out
         return out
