@@ -599,3 +599,95 @@ class TestStreamingContactEmitter:
         assert ms._stream_mode(stacked[0])
         monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_STREAM", "1")
         assert ms._stream_mode(small_model)
+
+
+class TestConstFoldedQuatHelpers:
+    """The trace-time constant-folded quaternion ops must match the dense
+    formulas for arbitrary (not just sparse) constants."""
+
+    def _rand(self, key, n=8):
+        import jax
+        import jax.numpy as jnp
+
+        q = jax.random.normal(key, (4, n))
+        q = q / jnp.linalg.norm(q, axis=0)
+        return tuple(q)
+
+    def test_qmul_c_matches_dense(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from flygym_tpu.ops import megastep as ms
+
+        z = jnp.zeros(8)
+        a = self._rand(jax.random.PRNGKey(0))
+        for c in [
+            (1.0, 0.0, 0.0, 0.0),
+            (0.7071, 0.7071, 0.0, 0.0),
+            (0.5, -0.5, 0.5, -0.5),
+            (0.9, 0.1, -0.2, 0.3),
+        ]:
+            got = ms._qmul_c(a, c, z)
+            cw = tuple(jnp.full(8, v) for v in c)
+            # Dense reference: standard Hamilton product.
+            aw, ax, ay, az = a
+            bw, bx, by, bz = cw
+            want = (
+                aw * bw - ax * bx - ay * by - az * bz,
+                aw * bx + ax * bw + ay * bz - az * by,
+                aw * by - ax * bz + ay * bw + az * bx,
+                aw * bz + ax * by - ay * bx + az * bw,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-6
+            )
+
+    def test_qrot_c_matches_scipy(self):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from flygym_tpu.ops import megastep as ms
+
+        z = jnp.zeros(8)
+        q = self._rand(jax.random.PRNGKey(1))
+        for c in [(0.0, 1.0, 0.0), (1.0, 0.0, 0.0), (0.3, -0.4, 1.2),
+                  (0.0, 0.0, 0.0)]:
+            got = np.asarray(ms._qrot_c(q, c, z)).T  # (8, 3)
+            qn = np.asarray(q).T  # (8, 4) wxyz
+            want = Rotation.from_quat(
+                qn[:, [1, 2, 3, 0]]
+            ).apply(np.asarray(c))
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_qmul_sp_matches_dense(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from flygym_tpu.ops import megastep as ms
+
+        z = jnp.zeros(8)
+        a = self._rand(jax.random.PRNGKey(2))
+        s = jnp.linspace(-1.0, 1.0, 8)
+        c_ = jnp.sqrt(jnp.clip(1 - s * s, 0.0, 1.0))
+        for axis in range(3):
+            for sign in (1.0, -1.0):
+                hq = [c_, None, None, None]
+                hq[axis + 1] = sign * s
+                got = ms._qmul_sp(a, hq, z)
+                dense = [c_, z, z, z]
+                dense[axis + 1] = sign * s
+                aw, ax, ay, az = a
+                bw, bx, by, bz = dense
+                want = (
+                    aw * bw - ax * bx - ay * by - az * bz,
+                    aw * bx + ax * bw + ay * bz - az * by,
+                    aw * by - ax * bz + ay * bw + az * bx,
+                    aw * bz + ax * by - ay * bx + az * bw,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=1e-6
+                )
