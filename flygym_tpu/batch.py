@@ -13,7 +13,6 @@ step itself).
 """
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ otherwise), applied as joint-angle offsets along per-leg correction vectors.
 All pure jnp — fuses into scanned episodes.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

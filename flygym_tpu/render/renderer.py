@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from flygym_tpu.compose.spec import CameraSpec
-from flygym_tpu.engine.maths import quat_rotate
 from flygym_tpu.engine.model import PhysicsModel, State
 from flygym_tpu.render.raycast import render_pixels
 
