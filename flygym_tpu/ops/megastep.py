@@ -264,6 +264,40 @@ def _cross_c(a, c, z):
     )
 
 
+def _cross_cl(c, b, z):
+    """c × b with c a constant 3-vector (python floats) and b lanes."""
+    cx, cy, cz = (float(v) for v in c)
+    return (
+        _comb([(b[2], cy), (b[1], -cz)], z),
+        _comb([(b[0], cz), (b[2], -cx)], z),
+        _comb([(b[1], cx), (b[0], -cy)], z),
+    )
+
+
+def _mul_cf(coef, x):
+    """coef·x where coef may be a python float (folded at trace time) or a
+    lane value, and x a lane or None (structural zero). Returns None for
+    an exactly-zero product — exact: 0·finite = 0 and 1·x = x bitwise."""
+    if x is None or coef is None:
+        return None
+    if isinstance(coef, float):
+        if coef == 0.0:
+            return None
+        if coef == 1.0:
+            return x
+        if coef == -1.0:
+            return -x
+        return x * coef
+    return coef * x
+
+
+def _acc(out, term):
+    """Accumulate with None-as-zero skipping (out + 0 == out bitwise)."""
+    if term is None:
+        return out
+    return term if out is None else out + term
+
+
 def _qrot_c(q, c, z):
     """Rotate constant 3-vector c by lane quaternion q."""
     cx, cy, cz = (float(v) for v in c)
@@ -366,8 +400,11 @@ class _Static:
         self.dof_chains = [list(c) for c in model.dof_chains]
         self.free_joints = list(model.free_joints)
         free_dofs = set()
+        self.free_dof_axis = {}
         for _b, _qa, va in self.free_joints:
             free_dofs.update(range(va, va + 6))
+            for i in range(6):
+                self.free_dof_axis[va + i] = i  # 0-2 translation, 3-5 rotation
         self.free_dofs = free_dofs
 
         # Hinges per body (sorted by slot) and dofs per body.
@@ -1232,53 +1269,111 @@ def _contacts_impl(
     def dof_components(c):
         """Recompute per-DoF Jacobian direction components for candidate c.
 
-        Returns dict tag -> list of lane vectors aligned with c["path"];
-        tags "n","t1","t2" dot jp_d = S_v[d] + S_w[d] x rel into the
-        contact frame, rotational tags dot S_w[d]. The flat frame picks
-        components directly (n = z, t1 = x, t2 = y).
+        Returns dict tag -> list aligned with c["path"]; tags "n","t1","t2"
+        dot jp_d = S_v[d] + S_w[d] x rel into the contact frame, rotational
+        tags dot S_w[d]. The flat frame picks components directly
+        (n = z, t1 = x, t2 = y).
+
+        Entries may be python FLOATS: the free joint's Plücker columns are
+        constants (translation: jp = ±e_i exactly; rotation: S_w = ±e_j), so
+        in the flat frame its components fold to 0/±1 at trace time — and
+        every consumer (products, the gradient fold, the Hessian fill, the
+        adhesion projection) folds them through _mul_cf/_acc. Exact: only
+        multiplies by 0/±1 are elided, never reassociated.
         """
         frame = c["frame"]
         rel = c["rel"]
         comps = {t: [] for t in ["n"] + tags}
+
+        def put(n_val, t1_val, t2_val, rn_val, rt1_val, rt2_val):
+            # Rotational entries may be thunks so their ops are only
+            # emitted when condim > 3 actually consumes them.
+            comps["n"].append(n_val)
+            if st.condim >= 3:
+                comps["t1"].append(t1_val)
+                comps["t2"].append(t2_val)
+            if st.condim > 3:
+                comps["rn"].append(rn_val() if callable(rn_val) else rn_val)
+            if st.condim == 6:
+                comps["rt1"].append(
+                    rt1_val() if callable(rt1_val) else rt1_val
+                )
+                comps["rt2"].append(
+                    rt2_val() if callable(rt2_val) else rt2_val
+                )
+
+        def pick_signed(vec3, idx, sgn):
+            x = vec3[idx]
+            return x if sgn == 1.0 else (-x if sgn == -1.0 else x * sgn)
+
         for d in c["path"]:
+            sgn = c["signs"][d]
+            fa = st.free_dof_axis.get(d)
+            if fa is not None and fa < 3:
+                # Free-joint translation: jp = sgn·e_fa, S_w = 0.
+                if frame is None:
+                    e = [0.0, 0.0, 0.0]
+                    e[fa] = float(sgn)
+                    put(e[2], e[0], e[1], 0.0, 0.0, 0.0)
+                else:
+                    n_c, t1, t2 = frame
+                    put(
+                        pick_signed(n_c, fa, sgn),
+                        pick_signed(t1, fa, sgn),
+                        pick_signed(t2, fa, sgn),
+                        0.0, 0.0, 0.0,
+                    )
+                continue
+            if fa is not None:
+                # Free-joint rotation: S_w = e_j constant, S_v lanes.
+                j = fa - 3
+                _w_ignored, v_ = S[d]
+                ec = [0.0, 0.0, 0.0]
+                ec[j] = 1.0
+                jp = _add3(v_, _cross_cl(ec, rel, z))
+                if sgn != 1.0:
+                    jp = _scale3(jp, sgn)
+                if frame is None:
+                    sj = float(sgn)
+                    put(jp[2], jp[0], jp[1],
+                        sj if j == 2 else 0.0,
+                        sj if j == 0 else 0.0,
+                        sj if j == 1 else 0.0)
+                else:
+                    n_c, t1, t2 = frame
+                    put(
+                        _dot3(jp, n_c), _dot3(jp, t1), _dot3(jp, t2),
+                        lambda: pick_signed(n_c, j, sgn),
+                        lambda: pick_signed(t1, j, sgn),
+                        lambda: pick_signed(t2, j, sgn),
+                    )
+                continue
             w_, v_ = S[d]
             jp = _add3(v_, _cross(w_, rel))
-            sgn = c["signs"][d]
             if sgn != 1.0:
                 jp = _scale3(jp, sgn)
                 if st.condim > 3:
                     w_ = _scale3(w_, sgn)
             if frame is None:
-                comps["n"].append(jp[2])
-                if st.condim >= 3:
-                    comps["t1"].append(jp[0])
-                    comps["t2"].append(jp[1])
-                if st.condim > 3:
-                    comps["rn"].append(w_[2])
-                if st.condim == 6:
-                    comps["rt1"].append(w_[0])
-                    comps["rt2"].append(w_[1])
+                put(jp[2], jp[0], jp[1], w_[2], w_[0], w_[1])
             else:
                 n_c, t1, t2 = frame
-                comps["n"].append(_dot3(jp, n_c))
-                if st.condim >= 3:
-                    comps["t1"].append(_dot3(jp, t1))
-                    comps["t2"].append(_dot3(jp, t2))
-                if st.condim > 3:
-                    comps["rn"].append(_dot3(w_, n_c))
-                if st.condim == 6:
-                    comps["rt1"].append(_dot3(w_, t1))
-                    comps["rt2"].append(_dot3(w_, t2))
+                put(
+                    _dot3(jp, n_c), _dot3(jp, t1), _dot3(jp, t2),
+                    lambda: _dot3(w_, n_c), lambda: _dot3(w_, t1),
+                    lambda: _dot3(w_, t2),
+                )
         return comps
 
     def products(c, comps, vec):
-        """J_dir · vec for each direction, as lane scalars."""
+        """J_dir · vec for each direction, as lane scalars (float comps
+        fold: 0 terms vanish, ±1 terms add/subtract multiply-free)."""
         out = {}
         for t, col in comps.items():
-            s_ = z
+            s_ = None
             for i, d in enumerate(c["path"]):
-                s_ = s_ + col[i] * vec[d]
-            out[t] = s_
+                s_ = _acc(s_, _mul_cf(col[i], vec[d]))
+            out[t] = z if s_ is None else s_
         return out
 
     def row_combos(c, p):
@@ -1325,7 +1420,9 @@ def _contacts_impl(
             # Adhesion as applied generalized force along the normal rows.
             adh = c["adh_force"]
             for i, d in enumerate(c["path"]):
-                qfrc[d] = qfrc[d] - adh * comps["n"][i]
+                term = _mul_cf(comps["n"][i], adh)
+                if term is not None:
+                    qfrc[d] = qfrc[d] - term
         if use_cached_jar:
             jars = c["jar_cur"]
         else:
@@ -1346,10 +1443,11 @@ def _contacts_impl(
             for ti, t in enumerate(tags):
                 coef[t] = mu_of(c, t) * (wk[2 * ti] - wk[2 * ti + 1])
         for i, d in enumerate(c["path"]):
-            g = z
+            g = None
             for t, cf in coef.items():
-                g = g + cf * comps[t][i]
-            grad_con[d] = grad_con[d] + g
+                g = _acc(g, _mul_cf(comps[t][i], cf))
+            if g is not None:
+                grad_con[d] = grad_con[d] + g
         if with_hessian is not None:
             H = with_hessian
             wa = [D_ * jnp.where(jr < 0.0, 1.0, 0.0) for jr in jars]
@@ -1379,20 +1477,24 @@ def _contacts_impl(
                 u_of[t] = [None] * npath
             for j_ in range(npath):
                 nj = comps["n"][j_]
-                un = W * nj
+                un = _mul_cf(nj, W)
                 for t in tags:
                     dj = comps[t][j_]
-                    un = un + Bt[t] * dj
-                    u_of[t][j_] = Bt[t] * nj + Wt[t] * dj
+                    un = _acc(un, _mul_cf(dj, Bt[t]))
+                    u_of[t][j_] = _acc(
+                        _mul_cf(nj, Bt[t]), _mul_cf(dj, Wt[t])
+                    )
                 u_of["n"][j_] = un
             for i_ in range(npath):
                 for j_ in range(i_, npath):
                     k = key(path[i_], path[j_])
                     if k is None:  # cross-tree fill-in: dropped
                         continue
-                    val = comps["n"][i_] * u_of["n"][j_]
+                    val = _mul_cf(comps["n"][i_], u_of["n"][j_])
                     for t in tags:
-                        val = val + comps[t][i_] * u_of[t][j_]
+                        val = _acc(val, _mul_cf(comps[t][i_], u_of[t][j_]))
+                    if val is None:  # exactly-zero fill (e.g. t1⊥t2 pair)
+                        continue
                     H[k] = H[k] + val
         return comps
 
