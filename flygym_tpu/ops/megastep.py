@@ -791,9 +791,21 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
     def m6_dot(a, b_):
         return _dot3(a[0], b_[0]) + _dot3(a[1], b_[1])
 
+    def m6_dot_free(a_, Fd):
+        """S[a_]·F with the free joint's constant Plücker parts folded:
+        translation (S = (0, e_i)) is a pick of F's linear part; rotation
+        (S = (e_j, p×e_j)) is a pick plus one 3-dot. Bit-exact vs the
+        dense dot (only 0/1 lane multiplies are elided)."""
+        fa = st.free_dof_axis.get(a_)
+        if fa is None:
+            return m6_dot(S[a_], Fd)
+        if fa < 3:
+            return Fd[1][fa]
+        return Fd[0][fa - 3] + _dot3(S[a_][1], Fd[1])
+
     Mh = {}
     for a_, d in st.pair_keys:
-        val = m6_dot(S[a_], F[d])
+        val = m6_dot_free(a_, F[d])
         if a_ == d:
             val = val + float(st.dof_armature[d]) + dt * float(st.dof_damping[d])
         Mh[(a_, d)] = val
@@ -817,7 +829,7 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
         p = int(st.body_parent[b])
         if p != 0:
             f_sub[p] = m6_add(f_sub[p], f_sub[b])
-    qfrc_bias = [m6_dot(S[d], f_sub[dof_body_of(d)]) for d in range(st.nv)]
+    qfrc_bias = [m6_dot_free(d, f_sub[dof_body_of(d)]) for d in range(st.nv)]
 
     # ---------------- passive + actuator forces ---------------------------
     qfrc = [-float(st.dof_damping[d]) * v[d] - qfrc_bias[d] for d in range(st.nv)]
