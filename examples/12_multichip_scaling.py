@@ -6,26 +6,33 @@ worlds per chip, and a 1-D `jax.sharding.Mesh("world")` shards the world
 axis across chips. The jitted step runs SPMD with ZERO cross-world
 collectives — scaling rides ICI with no communication on the hot path.
 
-On a real multi-chip slice `jax.devices()` provides the mesh; this
-script is runnable anywhere by provisioning virtual CPU devices (the
-same recipe the driver's dryrun uses), so it demonstrates the sharded
-program without TPU hardware.
+By default the script provisions virtual CPU devices (the same recipe
+the driver's dryrun uses), so the sharded program runs anywhere. On a
+real multi-chip slice pass ``--real`` to use the actual chips from
+``jax.devices()`` instead.
 
-Run: python examples/12_multichip_scaling.py [n_devices=8]
+Run: python examples/12_multichip_scaling.py [n_devices=8] [--real]
 """
 
 import os
+import re
 import sys
 from pathlib import Path
 
-N_DEVICES = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+ARGS = [a for a in sys.argv[1:] if a != "--real"]
+USE_REAL_DEVICES = "--real" in sys.argv[1:]
+N_DEVICES = int(ARGS[0]) if ARGS else 8
 
-# -- provision a virtual CPU mesh when real chips are absent --------------
-# (On a TPU slice, delete this block; jax.devices() already has the chips.)
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not USE_REAL_DEVICES:
+    # -- provision a virtual CPU mesh (replace, not append, any inherited
+    # device-count flag so a stale smaller value cannot win) --------------
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        os.environ.get("XLA_FLAGS", ""),
+    )
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
     ).strip()
@@ -34,7 +41,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not USE_REAL_DEVICES:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -163,9 +163,9 @@ class VectorFlyEnv:
     def reset(self, key: jnp.ndarray) -> State:
         """Fresh state with a small random joint-angle perturbation."""
         noise = 0.01 * jax.random.normal(key, (self.model.nq,))
-        # Do not perturb the free-joint quaternion block.
-        if self.model.free_joints:
-            _b, qadr, _v = self.model.free_joints[0]
+        # Do not perturb any free-joint quaternion block (multi-fly worlds
+        # have one per fly; Gaussian noise would de-normalize them).
+        for _b, qadr, _v in self.model.free_joints:
             noise = noise.at[qadr + 3 : qadr + 7].set(0.0)
         return dataclasses.replace(
             self._state0, qpos=self._state0.qpos + noise

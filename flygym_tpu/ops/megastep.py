@@ -220,13 +220,12 @@ _C_EPS = 1e-12
 
 
 def _comb(terms, z):
-    """Σ coef·val with exact-0 terms dropped and ±1 coefs multiply-free."""
+    """Σ coef·val with exact-0 terms dropped and ±1 coefs multiply-free
+    (the same fold rules as _mul_cf/_acc, which it delegates to)."""
     out = None
     for v, k in terms:
-        if abs(k) < _C_EPS:
-            continue
-        t = v if k == 1.0 else (-v if k == -1.0 else v * k)
-        out = t if out is None else out + t
+        k = float(k)
+        out = _acc(out, _mul_cf(0.0 if abs(k) < _C_EPS else k, v))
     return z if out is None else out
 
 
@@ -1302,8 +1301,8 @@ def _contacts_impl(
             # emitted when condim > 3 actually consumes them.
             comps["n"].append(n_val)
             if st.condim >= 3:
-                comps["t1"].append(t1_val)
-                comps["t2"].append(t2_val)
+                comps["t1"].append(t1_val() if callable(t1_val) else t1_val)
+                comps["t2"].append(t2_val() if callable(t2_val) else t2_val)
             if st.condim > 3:
                 comps["rn"].append(rn_val() if callable(rn_val) else rn_val)
             if st.condim == 6:
@@ -1331,8 +1330,8 @@ def _contacts_impl(
                     n_c, t1, t2 = frame
                     put(
                         pick_signed(n_c, fa, sgn),
-                        pick_signed(t1, fa, sgn),
-                        pick_signed(t2, fa, sgn),
+                        lambda: pick_signed(t1, fa, sgn),
+                        lambda: pick_signed(t2, fa, sgn),
                         0.0, 0.0, 0.0,
                     )
                 continue
@@ -1354,7 +1353,8 @@ def _contacts_impl(
                 else:
                     n_c, t1, t2 = frame
                     put(
-                        _dot3(jp, n_c), _dot3(jp, t1), _dot3(jp, t2),
+                        _dot3(jp, n_c),
+                        lambda: _dot3(jp, t1), lambda: _dot3(jp, t2),
                         lambda: pick_signed(n_c, j, sgn),
                         lambda: pick_signed(t1, j, sgn),
                         lambda: pick_signed(t2, j, sgn),
@@ -1371,7 +1371,8 @@ def _contacts_impl(
             else:
                 n_c, t1, t2 = frame
                 put(
-                    _dot3(jp, n_c), _dot3(jp, t1), _dot3(jp, t2),
+                    _dot3(jp, n_c),
+                    lambda: _dot3(jp, t1), lambda: _dot3(jp, t2),
                     lambda: _dot3(w_, n_c), lambda: _dot3(w_, t1),
                     lambda: _dot3(w_, t2),
                 )

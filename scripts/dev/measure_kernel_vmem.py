@@ -62,9 +62,9 @@ def main():
         try:
             out = step(bstate)
             np.asarray(out.qpos)
-            print(f"{name}: compiled and ran WITHIN {LIMIT} MiB "
-                  f"(estimate {est:.1f} MiB — over by "
-                  f"{est - float(LIMIT):.1f})", flush=True)
+            print(f"{name}: compiled and ran WITHIN {LIMIT} MiB — actual "
+                  f"need is <= {LIMIT} MiB; re-run with a smaller limit to "
+                  f"bracket it (estimate {est:.1f} MiB)", flush=True)
         except Exception as e:
             msg = str(e)
             m = re.search(r"(\d+)\s*bytes", msg) or re.search(
