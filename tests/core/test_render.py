@@ -518,3 +518,31 @@ class TestLights:
                 sim.model, sim.world, "trackcam",
                 lights=[{"kind": "point", "color": 1.0}],
             )
+
+    def test_batched_render_with_tracking_light(self, world):
+        """A target-tracking point light resolves per world under the
+        vmapped batch render (each world's light follows its own fly)."""
+        import jax
+        import jax.numpy as jnp
+
+        model, state0 = world.compile()
+        bstate = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (2,) + x.shape), state0
+        )
+        # Move world 1's fly far away so the two worlds differ.
+        _b, qadr, _v = model.free_joints[0]
+        qpos = bstate.qpos.at[1, qadr].add(5.0)
+        import dataclasses
+
+        bstate = dataclasses.replace(bstate, qpos=qpos)
+        import flygym_tpu
+
+        r = flygym_tpu.render.Renderer(
+            model, world, "trackcam", camera_res=(32, 44),
+            world_ids=[0, 1],
+            lights=[{"kind": "point", "target": f"{FLY}/c_thorax",
+                     "offset": (0, 0, 8.0), "color": 0.9}],
+        )
+        frames = next(iter(r.render(bstate).values()))
+        assert frames.shape == (2, 32, 44, 3)
+        assert np.isfinite(frames.astype(float)).all()
