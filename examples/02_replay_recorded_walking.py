@@ -20,7 +20,7 @@ from flygym_tpu.compose import ActuatorType
 from flygym_tpu.demo import MotionSnippet, make_model
 
 
-def main():
+def main(n_steps: int = 5000, settle_steps: int = 500, render: bool = True):
     fly, world, cam = make_model(spawn_position=(0, 0, 1.2))
     sim = BatchSimulation(world, 1)
 
@@ -28,11 +28,11 @@ def main():
     snippet = MotionSnippet()
     dof_order = fly.get_actuated_jointdofs_order(ActuatorType.POSITION)
     angles = snippet.get_joint_angles(sim.timestep, dof_order)
-    n_steps = min(len(angles), 5000)
+    n_steps = min(len(angles), n_steps)
     print(f"replaying {n_steps} steps ({n_steps * sim.timestep:.2f} s)")
 
     sim.set_leg_adhesion_states(fly.name, np.ones((1, 6), np.float32))
-    sim.rollout(None, 500)  # settle on the ground
+    sim.rollout(None, settle_steps)  # settle on the ground
 
     act_ids = sim._act_ids_by_type[ActuatorType.POSITION][fly.name]
     ctrl_seq = np.full((n_steps, 1, sim.model.nu), np.nan, np.float32)
@@ -43,15 +43,16 @@ def main():
     end = np.asarray(sim.state.qpos[0, :3])
     print(f"fly moved from {np.round(start, 2)} to {np.round(end, 2)} mm")
 
-    # Render the final pose at mesh fidelity: the capsule broad-phase hits
-    # are refined against the true anatomical mesh SDFs (thin wing
-    # membranes, real head/thorax silhouettes — render/sdf.py).
-    renderer = sim.set_renderer(
-        cam, camera_res=(240, 320), world_ids=[0], mesh_fidelity=True
-    )
-    renderer.render(sim.state)
-    renderer.save_video("/tmp/replay_final_frame.mp4")
-    print("wrote /tmp/replay_final_frame.mp4 (or .gif fallback)")
+    if render:
+        # Render the final pose at mesh fidelity: the capsule broad-phase
+        # hits are refined against the true anatomical mesh SDFs (thin wing
+        # membranes, real head/thorax silhouettes — render/sdf.py).
+        renderer = sim.set_renderer(
+            cam, camera_res=(240, 320), world_ids=[0], mesh_fidelity=True
+        )
+        renderer.render(sim.state)
+        renderer.save_video("/tmp/replay_final_frame.mp4")
+        print("wrote /tmp/replay_final_frame.mp4 (or .gif fallback)")
 
 
 if __name__ == "__main__":

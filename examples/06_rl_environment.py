@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from flygym_tpu.env import FlyEnv, VectorFlyEnv
 
 
-def main():
+def main(n_envs: int = 64):
     # --- single-env gymnasium API ---
     env = FlyEnv()
     obs, _info = env.reset(seed=0)
@@ -29,8 +29,7 @@ def main():
     print(f"one env step: reward={reward:.4f} terminated={terminated}")
 
     # --- vmapped functional core: many flies, one XLA program ---
-    core = VectorFlyEnv()
-    n_envs = 64  # scale to 4096 on a real chip
+    core = VectorFlyEnv()  # scale n_envs to 4096 on a real chip
     keys = jax.random.split(jax.random.PRNGKey(0), n_envs)
     states = jax.jit(jax.vmap(core.reset))(keys)
 

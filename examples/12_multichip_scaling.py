@@ -19,8 +19,10 @@ import re
 import sys
 from pathlib import Path
 
-ARGS = [a for a in sys.argv[1:] if a != "--real"]
-USE_REAL_DEVICES = "--real" in sys.argv[1:]
+# Parse argv only when run as a script (under pytest argv is pytest's).
+_ARGV = sys.argv[1:] if __name__ == "__main__" else []
+ARGS = [a for a in _ARGV if a != "--real"]
+USE_REAL_DEVICES = "--real" in _ARGV
 N_DEVICES = int(ARGS[0]) if ARGS else 8
 
 if not USE_REAL_DEVICES:

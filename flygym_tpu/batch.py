@@ -218,6 +218,7 @@ class BatchSimulation(Simulation):
             n_steps,
             batched_step=mega,
             record=record_trajectory,
+            kstep_fn=self._get_megastep_k(n_steps) if mega is not None else None,
         )
         self._curr_step += n_steps
         return traj

@@ -382,18 +382,37 @@ class Fly(BaseCompositionElement):
         if not self.bodyseg_to_specgeom:
             raise ValueError("Must first add geoms via `_add_bodies_and_geoms`.")
         vis_sets, lookup = self._parse_visuals_config(visuals_config_path)
+        builtin_ids = {"flat": 1, "gradient": 2}
         for segment, geom in self.bodyseg_to_specgeom.items():
             vis_set_name = lookup[segment]
             params = vis_sets[vis_set_name]
             material = params["material"]
             rgba = list(material.get("rgba", (1, 1, 1, 1)))
-            # Fold flat-texture base colors into the rgba (the raycaster has
-            # no procedural texture stage yet).
+            # Fold flat-texture base colors into the rgba so every rgba
+            # consumer (retina, MJCF export, simple shading) sees the
+            # material's effective base color; the raycaster's texture
+            # stage handles gradients and random marks from the per-geom
+            # texture table below.
             texture = params.get("texture")
             if texture and "rgb1" in texture:
                 rgb1 = texture["rgb1"]
                 rgba = [rgba[3] * 0 + c for c in rgb1] + [rgba[3]]
-            geom.set_attributes(material=vis_set_name, rgba=tuple(rgba))
+            geom.set_attributes(
+                material=vis_set_name,
+                rgba=tuple(rgba),
+                specular=float(material.get("specular", 0.35)),
+                shininess=float(material.get("shininess", 0.22)),
+            )
+            if texture:
+                geom.set_attributes(
+                    tex_builtin=builtin_ids.get(texture.get("builtin"), 1),
+                    tex_rgb1=tuple(texture.get("rgb1", (1, 1, 1))),
+                    tex_rgb2=tuple(
+                        texture.get("rgb2", texture.get("rgb1", (1, 1, 1)))
+                    ),
+                    tex_markrgb=tuple(texture.get("markrgb", (0, 0, 0))),
+                    tex_random=float(texture.get("random", 0.0)),
+                )
 
     def add_tracking_camera(
         self,

@@ -79,6 +79,15 @@ class GeomSpec(_Element):
     inertia_diag: tuple | None = None
     rgba: tuple = (0.5, 0.5, 0.5, 1.0)
     material: str | None = None
+    # Material/procedural-texture table (set by Fly.colorize from
+    # visuals.json; consumed by the raycaster's shading stage).
+    specular: float = 0.35
+    shininess: float = 0.22
+    tex_builtin: int = 0  # 0 none | 1 flat | 2 gradient
+    tex_rgb1: tuple = (1.0, 1.0, 1.0)
+    tex_rgb2: tuple = (1.0, 1.0, 1.0)
+    tex_markrgb: tuple = (0.0, 0.0, 0.0)
+    tex_random: float = 0.0
     extra: dict = dc_field(default_factory=dict)
 
     def set_attributes(self, **kwargs):
@@ -511,6 +520,8 @@ class ModelSpec:
         geom_quat[:, 0] = 1.0
         geom_size = np.zeros((ng, 3), f32)
         geom_rgba = np.ones((ng, 4), f32) * 0.5
+        geom_matprops = np.zeros((ng, 2), f32)
+        geom_tex = np.zeros((ng, 11), f32)
         geom_types = []
         geom_name2idx = {}
         for gi, (bid, g) in enumerate(geoms):
@@ -521,6 +532,12 @@ class ModelSpec:
             size[: len(g.size)] = g.size
             geom_size[gi] = size
             geom_rgba[gi] = g.rgba
+            geom_matprops[gi] = (g.specular, g.shininess)
+            geom_tex[gi, 0] = g.tex_builtin
+            geom_tex[gi, 1:4] = g.tex_rgb1
+            geom_tex[gi, 4:7] = g.tex_rgb2
+            geom_tex[gi, 7:10] = g.tex_markrgb
+            geom_tex[gi, 10] = g.tex_random
             geom_types.append(g.type)
             geom_name2idx[g.full_identifier] = gi
 
@@ -828,6 +845,8 @@ class ModelSpec:
             geom_quat=jnp.asarray(geom_quat),
             geom_size=jnp.asarray(geom_size),
             geom_rgba=jnp.asarray(geom_rgba),
+            geom_matprops=jnp.asarray(geom_matprops),
+            geom_tex=jnp.asarray(geom_tex),
             can_geom=jnp.asarray(can_geom),
             can_body=jnp.asarray(can_body),
             can_geom2=jnp.asarray(can_geom2),

@@ -110,9 +110,33 @@ class ReplayTargetData:
     donate_argnums=(1,),
 )
 def _replay_episode(model, state, targets, act_ids, n_steps: int,
-                    batched_step=None):
+                    batched_step=None, kstep_fn=None):
     """Whole replay episode on device: per-step table lookup + batched step
-    (the Pallas mega-kernel when available, vmapped XLA step otherwise)."""
+    (the Pallas mega-kernel when available, vmapped XLA step otherwise).
+
+    With ``kstep_fn`` (the K-step fused kernel, ops/megastep.py
+    ``make_megastep(model, k_steps=K)``), the scan runs n_steps/K kernel
+    launches, each fusing K physics steps in-kernel with the per-step
+    target slice selected from the replay table."""
+    if kstep_fn is not None and n_steps % kstep_fn.k_steps == 0:
+        K = kstep_fn.k_steps
+        n_outer = n_steps // K
+
+        def body_k(carry, _):
+            i, st = carry
+            tgt = jax.lax.dynamic_slice_in_dim(targets, i, K, axis=1)
+            ctrl_seq = jnp.broadcast_to(
+                st.ctrl[None], (K,) + st.ctrl.shape
+            )
+            ctrl_seq = ctrl_seq.at[:, :, act_ids].set(tgt.transpose(1, 0, 2))
+            st, _traj = kstep_fn(st, ctrl_seq)
+            return (i + K, st), None
+
+        (_, final), _ = jax.lax.scan(
+            body_k, (jnp.zeros((), jnp.int32), state), None, length=n_outer
+        )
+        return final
+
     if batched_step is None:
         vstep = jax.vmap(engine_step, in_axes=(None, 0))
         batched_step = lambda s: vstep(model, s)
@@ -162,15 +186,18 @@ def run_simulation(
     # outside its timed loop). NOTE: block_until_ready does not reliably block
     # on the axon TPU backend; a host fetch is the only true device sync.
     mega = sim._megastep
+    kfn = sim._get_megastep_k(n_steps) if mega is not None else None
     final = _replay_episode(
-        sim.model, sim.state, targets, act_ids, n_steps, batched_step=mega
+        sim.model, sim.state, targets, act_ids, n_steps, batched_step=mega,
+        kstep_fn=kfn,
     )
     np.asarray(final.qpos[0])
     sim.state = final
 
     start = perf_counter_ns()
     final = _replay_episode(
-        sim.model, sim.state, targets, act_ids, n_steps, batched_step=mega
+        sim.model, sim.state, targets, act_ids, n_steps, batched_step=mega,
+        kstep_fn=kfn,
     )
     np.asarray(final.qpos[0])
     walltime_s = (perf_counter_ns() - start) / 1e9

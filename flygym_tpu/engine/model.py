@@ -155,6 +155,12 @@ class PhysicsModel:
     geom_quat: jnp.ndarray  # (ngeom, 4)
     geom_size: jnp.ndarray  # (ngeom, 3)
     geom_rgba: jnp.ndarray  # (ngeom, 4)
+    # Material table (visuals.json → Fly.colorize; the analog of the
+    # reference's MuJoCo material/texture pipeline, fly.py:443-469):
+    # matprops = [specular, shininess]; tex = [builtin (0 none / 1 flat /
+    # 2 gradient), rgb1(3), rgb2(3), markrgb(3), mark probability].
+    geom_matprops: jnp.ndarray  # (ngeom, 2)
+    geom_tex: jnp.ndarray  # (ngeom, 11)
 
     # ---- contact candidates ----
     # Ground rows (first ncand - ncand_pair): capsule-end vs ground plane.

@@ -166,7 +166,9 @@ def rollout(
     return final, traj
 
 
-@partial(jax.jit, static_argnames=("n_steps", "batched_step", "record"))
+@partial(
+    jax.jit, static_argnames=("n_steps", "batched_step", "record", "kstep_fn")
+)
 def rollout_batched(
     model: PhysicsModel,
     state: State,
@@ -174,6 +176,7 @@ def rollout_batched(
     n_steps: int,
     batched_step=None,
     record: bool = True,
+    kstep_fn=None,
 ):
     """Batched episode scan: state has a leading world axis, ``ctrl_seq`` is
     (n_steps, n_worlds, nu). One XLA program for the whole episode across all
@@ -184,9 +187,37 @@ def rollout_batched(
         batched_step: Optional replacement for ``vmap(step)`` taking the
             batched state directly (e.g. the Pallas mega-kernel,
             ops/megastep.py).
+        kstep_fn: Optional K-step fused mega-kernel
+            (``make_megastep(model, k_steps=K)``); ``n_steps`` must be a
+            multiple of its ``k_steps``. The scan then runs n_steps/K
+            kernel launches, NaN ctrl forward-filling and terrain-plane
+            sampling once per chunk.
     """
     import dataclasses
     import os
+
+    if kstep_fn is not None:
+        K = kstep_fn.k_steps
+        n_outer = n_steps // K
+        sample_planes = getattr(kstep_fn, "sample_planes", None)
+
+        def outer_k(st, ctrl_chunk):
+            # Forward-fill the NaN "hold previous ctrl" slots through the
+            # chunk (tiny scan over K (B, nu) slices).
+            def ff(c, ct):
+                eff = jnp.where(jnp.isnan(ct), c, ct)
+                return eff, eff
+
+            _, eff = jax.lax.scan(ff, st.ctrl, ctrl_chunk)
+            planes = sample_planes(st) if sample_planes is not None else None
+            new, qpos_traj = kstep_fn(st, eff, planes)
+            return new, qpos_traj if record else None
+
+        chunks = ctrl_seq.reshape((n_outer, K) + ctrl_seq.shape[1:])
+        final, traj = jax.lax.scan(outer_k, state, chunks)
+        if not record:
+            return final, None
+        return final, traj.reshape((n_steps,) + traj.shape[2:])
 
     if batched_step is None:
         vstep = jax.vmap(step, in_axes=(None, 0))

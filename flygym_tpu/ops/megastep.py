@@ -359,6 +359,7 @@ class _Static:
         self.nrows = max(1, 2 * (model.condim - 1))
         self.timestep = float(model.timestep)
         self.solver_iterations = int(model.solver_iterations)
+        self.solver_exact = bool(model.solver_exact)
         self.ref_body = int(model.ref_body)
         self.gravity = f(model.gravity)
         # Big models stream the contact section (see _emit_contacts_stream).
@@ -558,10 +559,13 @@ def megastep_supported(model) -> bool:
     fly-fly contact sets (e.g. ``bodysegs=`` a trunk-only list) stay
     in-kernel.
 
-    The strict-parity exact-Newton mode stays on the jnp path: the kernel
-    freezes one factorization per step.
+    The strict-parity exact-Newton mode (model.solver_exact) runs
+    in-kernel: the Hessian is re-filled and re-factored from the current
+    active set at every Newton iteration, mirroring the engine's
+    _solve_primal_newton. The PGS cross-check solver stays on the jnp
+    path (different algorithm, used for solver-validation only).
     """
-    if model.solver_type == "pgs" or model.solver_exact:
+    if model.solver_type == "pgs":
         return False
     est = (
         _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
@@ -1533,14 +1537,28 @@ def _contacts_impl(
         H[(d, d)] = H[(d, d)] + 1e-9
     Ld, dd = _tree_ldl(st, H, z)
 
-    # ---- Newton refinements (frozen Hessian + bisection/regula-falsi
+    # ---- Newton refinements (default: frozen Hessian; strict mode
+    # (st.solver_exact) re-fills + re-factors the Hessian from the CURRENT
+    # active set each iteration, matching the engine's exact-Newton path
+    # (engine/contact.py _solve_primal_newton) — bisection/regula-falsi
     # line search, the engine's _exact_linesearch schedule) ----
     Ma = Mh_mul(a_vec)
     for it in range(max(st.solver_iterations, 1)):
         if it > 0:
             grad_con = [z] * nv
-            for c in cons:
-                jar_grad_pass(c, a_vec, grad_con, use_cached_jar=True)
+            if st.solver_exact:
+                H = dict(Mh)
+                for c in cons:
+                    jar_grad_pass(
+                        c, a_vec, grad_con, with_hessian=H,
+                        use_cached_jar=True,
+                    )
+                for d in range(nv):
+                    H[(d, d)] = H[(d, d)] + 1e-9
+                Ld, dd = _tree_ldl(st, H, z)
+            else:
+                for c in cons:
+                    jar_grad_pass(c, a_vec, grad_con, use_cached_jar=True)
         grad = [Ma[d] - qfrc[d] + grad_con[d] for d in range(nv)]
         delta = _tree_solve(st, Ld, dd, grad)
         delta = [-x for x in delta]
@@ -1776,7 +1794,8 @@ def _pad_lanes(x, multiple=LANE):
     return x, b
 
 
-def make_megastep(model, interpret: bool = False, jit: bool = True):
+def make_megastep(model, interpret: bool = False, jit: bool = True,
+                  k_steps: int = 1):
     """Build a batched step: state (B, ...) pytree → new state, via Pallas.
 
     Returns a function with the same signature as
@@ -1791,6 +1810,18 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
         jit: wrap the result in ``jax.jit``. Pass False when composing the
             kernel inside an outer transform (e.g. ``shard_map`` over a
             device mesh) that jits the whole program itself.
+        k_steps: number of physics steps fused into ONE kernel invocation.
+            With K > 1 the returned function has signature
+            ``megastep_k(state, ctrl_seq, terrain_planes=None) ->
+            (new_state, qpos_traj)`` where ``ctrl_seq`` is (K, B, nu) of
+            *effective* (NaN-free) controls and ``qpos_traj`` is
+            (K, B, nq). The K-1 intermediate steps run inside a
+            ``fori_loop`` in the kernel — they skip the HBM round trip,
+            the kernel launch, and the output sections (FK/site/sensor
+            emission is dead code except on the final step), which is the
+            single-fly latency lever (VERDICT round 2 #2) and amortizes
+            the out-of-kernel terrain-plane sampling (per K-chunk, same
+            staleness argument as FLYGYM_TPU_TERRAIN_RESAMPLE).
     """
     from flygym_tpu.engine.model import State
 
@@ -1799,26 +1830,72 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     nb, ns, nsite = st.nbody, st.nsensor, st.nsite
     ncand = st.ncand
     n_terrain = 4 * ncand if st.has_hfield else 0
+    K = int(k_steps)
+    assert K >= 1
 
-    n_in = nq + nv + nu + na + nv + n_terrain
-    n_out = nq + nv + na + nv + 3 * nb + 4 * nb + 3 * nsite + nu + 16 * ns
+    n_in = nq + nv + K * nu + na + nv + n_terrain
+    # K > 1 prepends (K-1)*nq per-step qpos-trajectory rows (steps 0..K-2;
+    # the final step's qpos is part of the regular state output).
+    n_traj = (K - 1) * nq
+    n_out = (
+        n_traj + nq + nv + na + nv + 3 * nb + 4 * nb + 3 * nsite + nu + 16 * ns
+    )
 
     def kernel(in_ref, out_ref):
+        from jax.experimental import pallas as pl
+
         read = lambda i: in_ref[i, 0]
         q = [read(i) for i in range(nq)]
         v = [read(nq + i) for i in range(nv)]
-        ctrl = [read(nq + nv + i) for i in range(nu)]
-        act = [read(nq + nv + nu + i) for i in range(na)]
-        warm = [read(nq + nv + nu + na + i) for i in range(nv)]
+        ctrl_rows = [read(nq + nv + i) for i in range(K * nu)]
+        act = [read(nq + nv + K * nu + i) for i in range(na)]
+        warm = [read(nq + nv + K * nu + na + i) for i in range(nv)]
         terrain = None
         if n_terrain:
-            t0 = nq + nv + nu + na + nv
+            t0 = nq + nv + K * nu + na + nv
             terrain = [
                 tuple(read(t0 + 4 * c + k) for k in range(4))
                 for c in range(ncand)
             ]
+
+        if K > 1:
+            # K-1 in-kernel steps: the loop body compiles ONCE (fori_loop,
+            # not Python unroll), carrying only the dynamics state
+            # (q, v, act, warm). Per-iteration ctrl is a where-chain select
+            # over the K slices (<<1% of the emit op count). qpos after
+            # step k is stored to the trajectory rows at dynamic offset.
+            def loop_body(k, carry):
+                q_, v_, a_, w_ = carry
+                ctrl_k = []
+                for i in range(nu):
+                    val = ctrl_rows[i]
+                    for j in range(1, K - 1):
+                        val = jnp.where(k == j, ctrl_rows[j * nu + i], val)
+                    ctrl_k.append(val)
+                r_ = emit_step(
+                    st, list(q_), list(v_), ctrl_k, list(a_), list(w_), terrain
+                )
+                for i in range(nq):
+                    out_ref[k * nq + i, 0] = r_["qpos"][i]
+                return (
+                    tuple(r_["qpos"]),
+                    tuple(r_["qvel"]),
+                    tuple(r_["act"]),
+                    tuple(r_["qacc"]),
+                )
+
+            carry = jax.lax.fori_loop(
+                0,
+                K - 1,
+                loop_body,
+                (tuple(q), tuple(v), tuple(act), tuple(warm)),
+            )
+            q, v, act, warm = (list(t) for t in carry)
+            ctrl = [ctrl_rows[(K - 1) * nu + i] for i in range(nu)]
+        else:
+            ctrl = ctrl_rows
         r = emit_step(st, q, v, ctrl, act, warm, terrain)
-        o = 0
+        o = n_traj
 
         def wr(vals):
             nonlocal o
@@ -1917,6 +1994,13 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     # LIBTPU flag sized for the biggest supported model — a limit raised
     # for a two-fly kernel measurably slows the single-fly one.
     est_mb = _est_stream_mb(model) if st.stream else _est_scoped_mb(model)
+    # K-step fusion adds double-buffered I/O tiles for the extra ctrl
+    # slices and the qpos-trajectory rows, plus the fori_loop carry
+    # (~nq+2nv+na tiles, resident once).
+    if K > 1:
+        est_mb += (
+            2 * ((K - 1) * nu + n_traj) + (nq + 2 * nv + na)
+        ) * (SUBLANES * LANE * 4) / 2**20
     vmem_limit_bytes = int(min(127.0, est_mb + 8.0) * 2**20)
     # Calibration override: compiling with a too-small limit makes Mosaic
     # report the kernel's ACTUAL scoped-VMEM requirement in the error.
@@ -1924,16 +2008,22 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     if _ovr:
         vmem_limit_bytes = int(float(_ovr) * 2**20)
 
-    def megastep(state, terrain_planes=None):
+    def _megastep_impl(state, ctrl_seq=None, terrain_planes=None):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         B = state.qpos.shape[0]
         dtype = jnp.float32
+        if K > 1:
+            # ctrl_seq: (K, B, nu) effective controls, one slice per fused
+            # step; rows ordered k-major to match the kernel's reads.
+            ctrl_part = ctrl_seq.transpose(0, 2, 1).reshape(K * nu, B)
+        else:
+            ctrl_part = state.ctrl.T
         parts = [
             state.qpos.T.astype(dtype),
             state.qvel.T.astype(dtype),
-            state.ctrl.T.astype(dtype),
+            ctrl_part.astype(dtype),
             state.act.T.astype(dtype),
             state.qacc.T.astype(dtype),
         ]
@@ -1983,6 +2073,7 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
             o += n
             return r
 
+        traj = take(n_traj, (K - 1, nq)) if n_traj else None  # (B, K-1, nq)
         qpos = take(nq, (nq,))
         qvel = take(nv, (nv,))
         act_n = take(na, (na,))
@@ -1992,12 +2083,12 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
         site = take(3 * nsite, (nsite, 3))
         af = take(nu, (nu,))
         sens = take(16 * ns, (ns, 16))
-        return State(
+        new_state = State(
             qpos=qpos,
             qvel=qvel,
-            ctrl=state.ctrl,
+            ctrl=state.ctrl if K == 1 else ctrl_seq[-1],
             act=act_n,
-            time=state.time + st.timestep,
+            time=state.time + K * st.timestep,
             qacc=qacc,
             xpos=xpos,
             xquat=xquat,
@@ -2005,6 +2096,23 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
             actuator_force=af,
             contact_sensordata=sens,
         )
+        if K == 1:
+            return new_state
+        # (K, B, nq) per-step qpos trajectory for the caller's scan.
+        qpos_traj = jnp.concatenate(
+            [traj.transpose(1, 0, 2), qpos[None]], axis=0
+        )
+        return new_state, qpos_traj
+
+    if K == 1:
+
+        def megastep(state, terrain_planes=None):
+            return _megastep_impl(state, None, terrain_planes)
+
+    else:
+
+        def megastep(state, ctrl_seq, terrain_planes=None):
+            return _megastep_impl(state, ctrl_seq, terrain_planes)
 
     # interpret mode stays unjitted: the kernel body unrolls to ~1e5 ops,
     # which the CPU backend would take tens of minutes to compile.
@@ -2013,12 +2121,20 @@ def make_megastep(model, interpret: bool = False, jit: bool = True):
     else:
         jitted = jax.jit(megastep)
 
-        def fn(state, terrain_planes=None):
-            return jitted(state, terrain_planes)
+        if K == 1:
+
+            def fn(state, terrain_planes=None):
+                return jitted(state, terrain_planes)
+
+        else:
+
+            def fn(state, ctrl_seq, terrain_planes=None):
+                return jitted(state, ctrl_seq, terrain_planes)
 
     # Rollouts use this to amortize the (expensive) terrain-plane sampling
     # over several kernel steps (engine/step.py:rollout_batched).
     fn.sample_planes = sample_planes
+    fn.k_steps = K
     return fn
 
 

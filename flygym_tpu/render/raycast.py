@@ -482,22 +482,49 @@ def render_pixels(
 
     hit_p = origins + t[:, None] * dirs
 
-    # Base colors (per-geom materials come from visuals.json via
-    # Fly.colorize → model.geom_rgba, the reference's material pipeline,
-    # ``fly.py:443-469``).
-    geom_rgb = model.geom_rgba[jnp.maximum(geom_idx, 0), :3]
-
-    # Procedural cuticle speckle in the *body-local* frame (stable under
-    # motion): two-octave value noise on the hit point rotated/translated
-    # into the nearest geom's frame.
-    gq_hit = gquat[jnp.maximum(geom_idx, 0)]
-    gp_hit = gpos[jnp.maximum(geom_idx, 0)]
+    # Base colors + material table (visuals.json via Fly.colorize →
+    # model.geom_rgba / geom_matprops / geom_tex — the analog of the
+    # reference's MuJoCo material/texture pipeline, ``fly.py:443-469``:
+    # per-material specular/shininess, flat/gradient procedural textures
+    # with random markings).
+    gi_safe = jnp.maximum(geom_idx, 0)
+    geom_rgb = model.geom_rgba[gi_safe, :3]
+    tex = model.geom_tex[gi_safe]  # (N, 11)
+    builtin = tex[:, 0]
+    gq_hit = gquat[gi_safe]
+    gp_hit = gpos[gi_safe]
     local_p = quat_rotate(quat_conj(gq_hit), hit_p - gp_hit)
-    speckle = _value_noise3(local_p * 14.0) + 0.5 * _value_noise3(
-        local_p * 41.0
+
+    # Gradient textures blend rgb1 → rgb2 along the geom's local z axis
+    # (MuJoCo's gradient runs along the texture v axis; capsules map v to
+    # the long axis, which is local z in this model family).
+    halfspan = jnp.maximum(
+        model.geom_size[gi_safe, 1] + model.geom_size[gi_safe, 0], 1e-6
     )
-    speckle = speckle / 1.5  # back to [0, 1)
-    geom_rgb = geom_rgb * (0.82 + 0.36 * speckle[:, None])
+    t_grad = jnp.clip(0.5 + local_p[:, 2] / (2.0 * halfspan), 0.0, 1.0)
+    grad_rgb = tex[:, 1:4] * (1.0 - t_grad[:, None]) + tex[:, 4:7] * t_grad[
+        :, None
+    ]
+    geom_rgb = jnp.where((builtin >= 2.0)[:, None], grad_rgb, geom_rgb)
+
+    # Random markings (MuJoCo mark="random"): body-local value noise
+    # thresholded at the material's mark probability blends toward markrgb
+    # — this is also what gives the cuticle its speckle.
+    mark_noise = (
+        _value_noise3(local_p * 14.0) + 0.5 * _value_noise3(local_p * 41.0)
+    ) / 1.5
+    mark_w = jnp.clip(
+        (tex[:, 10] - mark_noise) / jnp.maximum(tex[:, 10], 1e-6), 0.0, 1.0
+    ) * (builtin > 0.0)
+    geom_rgb = geom_rgb * (1.0 - mark_w[:, None]) + tex[:, 7:10] * mark_w[
+        :, None
+    ]
+    # Subtle shading variation on marked cuticle (keeps the pre-material
+    # speckled look on textured segments; untextured ones render flat,
+    # like the reference's plain materials).
+    geom_rgb = geom_rgb * (
+        1.0 - 0.18 * (builtin > 0.0)[:, None] * (0.5 - mark_noise)[:, None]
+    )
 
     if ground_texture is not None:
         ground_rgb = _bilinear_wrap(
@@ -554,7 +581,15 @@ def render_pixels(
         lights = default_lights(dtype)
     p0, p1, radius = _capsule_segments(model, gpos, gquat)
     shadow_orig = hit_p + 1e-2 * normal  # mm-scale scene: 10 µm bias
-    ks = jnp.where(geom_idx >= 0, 0.35, 0.06)
+    # Per-geom specular strength / highlight exponent from the material
+    # table (MuJoCo GL: exponent grows with shininess; 0.22 → ~32, the
+    # pre-material-table constant).
+    ks = jnp.where(geom_idx >= 0, model.geom_matprops[gi_safe, 0], 0.06)
+    spec_exp = jnp.where(
+        geom_idx >= 0,
+        4.0 + 128.0 * model.geom_matprops[gi_safe, 1],
+        32.0,
+    )
     headlight = jnp.abs(jnp.sum(normal * (-dirs), axis=-1))
     shade_rgb = jnp.broadcast_to(
         (0.30 + 0.25 * headlight)[:, None], hit_p.shape
@@ -593,7 +628,9 @@ def render_pixels(
             jnp.linalg.norm(half_v, axis=-1, keepdims=True), 1e-9
         )
         spec_dot = jnp.maximum(jnp.sum(normal * half_v, axis=-1), 0.0)
-        spec_rgb = spec_rgb + spec_c * (ks * spec_dot**32 * lit * atten)[:, None]
+        spec_rgb = spec_rgb + spec_c * (
+            ks * spec_dot**spec_exp * lit * atten
+        )[:, None]
     rgb = base * jnp.where((geom_idx == -2)[:, None], 1.0, shade_rgb)
     rgb = rgb + jnp.where((geom_idx == -2)[:, None], 0.0, spec_rgb)
 

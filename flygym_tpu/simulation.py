@@ -73,6 +73,8 @@ class Simulation:
 
         self._map_internal_ids()
 
+        self._megastep_k_fn = None
+
         # Performance profiling counters (reference simulation.py:53-57).
         self._curr_step = 0
         self._frames_rendered = 0
@@ -184,6 +186,34 @@ class Simulation:
             # reference's (which steps without profiling).
             self._curr_step -= n_steps
 
+    def _get_megastep_k(self, n_steps: int):
+        """The K-step fused mega-kernel for rollouts, or None.
+
+        K physics steps run inside ONE kernel invocation
+        (``make_megastep(model, k_steps=K)``): the K-1 intermediate steps
+        skip the HBM round trip, launch overhead, and output sections.
+        K comes from FLYGYM_TPU_MEGASTEP_K (default 8; 0/1 disables);
+        disabled when n_steps is not a multiple of K, on mesh-sharded runs
+        (the sharded K-kernel is not wired yet), or when the mega-kernel
+        itself is off.
+        """
+        import os
+
+        if self._megastep is None or getattr(
+            self._megastep, "interpret_mode", False
+        ):
+            return None
+        if getattr(self, "_mesh", None) is not None:
+            return None
+        K = int(os.environ.get("FLYGYM_TPU_MEGASTEP_K", "8"))
+        if K <= 1 or n_steps % K != 0:
+            return None
+        if self._megastep_k_fn is None or self._megastep_k_fn.k_steps != K:
+            from flygym_tpu.ops.megastep import make_megastep
+
+            self._megastep_k_fn = make_megastep(self.model, k_steps=K)
+        return self._megastep_k_fn
+
     def rollout(
         self,
         ctrl_sequence: np.ndarray | None,
@@ -216,7 +246,9 @@ class Simulation:
             )
         if self._megastep is not None and type(self) is Simulation:
             # Ride the mega-step kernel with a single-world batch (padded
-            # to the kernel block internally) — ~10x the serial path.
+            # to the kernel block internally) — ~10x the serial path. The
+            # K-step fused kernel cuts the per-step launch + HBM round
+            # trip + output sections further (single-fly latency).
             from flygym_tpu.engine.step import rollout_batched
 
             bstate = jax.tree.map(lambda x: x[None], self.state)
@@ -227,6 +259,7 @@ class Simulation:
                 n_steps,
                 batched_step=self._megastep,
                 record=record_trajectory,
+                kstep_fn=self._get_megastep_k(n_steps),
             )
             self.state = jax.tree.map(lambda x: x[0], final)
             self._curr_step += n_steps

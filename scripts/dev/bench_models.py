@@ -86,7 +86,7 @@ def measure(name, world, n_worlds, n_steps):
     wps = n_worlds * n_steps / best
     print(
         f"{name:16s} nv={sim.model.nv:4d} {best:7.3f}s -> {wps:12,.0f} w/s "
-        f"({wps * 1e-4:.0f}x rt)",
+        f"({wps * sim.timestep:.0f}x rt)",
         flush=True,
     )
     return wps

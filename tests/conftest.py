@@ -12,11 +12,39 @@ initialized yet.
 """
 
 import os
+import subprocess
+import sys
 
 # FLYGYM_TPU_TEST_BACKEND=tpu keeps the real TPU backend for the tests in
 # tests/tpu/ (marked @pytest.mark.tpu); the default is the 8-virtual-device
-# CPU backend.
-_TEST_BACKEND = os.environ.get("FLYGYM_TPU_TEST_BACKEND", "cpu")
+# CPU backend. When the flag is unset and the invocation targets ONLY
+# tests/tpu, TPU hardware is auto-detected (subprocess probe with a timeout,
+# since the axon tunnel can hang) so `pytest tests/tpu` runs rather than
+# silently skipping on a TPU box.
+_TEST_BACKEND = os.environ.get("FLYGYM_TPU_TEST_BACKEND", "")
+
+if not _TEST_BACKEND:
+    _path_args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    _only_tpu = bool(_path_args) and all(
+        "tests/tpu" in a.replace("\\", "/") for a in _path_args
+    )
+    if _only_tpu:
+        try:
+            _probe = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; assert any(d.platform == 'tpu' "
+                    "for d in jax.devices())",
+                ],
+                timeout=120,
+                capture_output=True,
+            )
+            _TEST_BACKEND = "tpu" if _probe.returncode == 0 else "cpu"
+        except Exception:
+            _TEST_BACKEND = "cpu"
+    else:
+        _TEST_BACKEND = "cpu"
 
 if _TEST_BACKEND == "cpu":
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -223,6 +223,98 @@ class TestFlyGolden:
         assert 0.8 * expected < total_fn < 1.2 * expected
 
 
+class TestNonLegChainsGolden:
+    """Head/antenna/proboscis/abdomen/wing chains vs MuJoCo.
+
+    The leg-only goldens above leave ALL_BIOLOGICAL's 60 non-leg DoFs and
+    ALL_POSSIBLE's full 204-DoF skeleton uncovered; these cross-check FK,
+    inertials, and passive dynamics on those chains (reference presets:
+    flygym ``anatomy.py:388-460``)."""
+
+    @staticmethod
+    def _tethered(preset):
+        fly = Fly()
+        skeleton = Skeleton(
+            axis_order=AxisOrder.YAW_PITCH_ROLL, joint_preset=preset
+        )
+        fly.add_joints(skeleton, neutral_pose=KinematicPosePreset.NEUTRAL)
+        world = TetheredWorld()
+        world.add_fly(fly, (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+        return fly, world
+
+    @pytest.fixture(scope="class")
+    def bio_world(self):
+        return self._tethered(JointPreset.ALL_BIOLOGICAL)
+
+    @pytest.fixture(scope="class")
+    def full_world(self):
+        return self._tethered(JointPreset.ALL_POSSIBLE)
+
+    def _assert_fk_matches(self, world, atol=1e-5):
+        model, state = world.compile()
+        m, d = _mujoco_from(world)
+        mujoco.mj_forward(m, d)
+        id2name = {v: k for k, v in world.compiled.body_name2id.items()}
+        for bid in range(1, model.nbody):
+            mj_bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, id2name[bid])
+            assert mj_bid >= 0
+            assert np.allclose(
+                np.asarray(state.xpos[bid]), d.xpos[mj_bid], atol=atol
+            ), id2name[bid]
+            q_me, q_mj = np.asarray(state.xquat[bid]), d.xquat[mj_bid]
+            assert min(
+                np.abs(q_me - q_mj).max(), np.abs(q_me + q_mj).max()
+            ) < atol, id2name[bid]
+
+    def test_bio_fk_matches_mujoco(self, bio_world):
+        _fly, world = bio_world
+        assert world.compile()[0].nv == 126
+        self._assert_fk_matches(world)
+
+    def test_bio_inertials_match_mujoco(self, bio_world):
+        _fly, world = bio_world
+        model, _state = world.compile()
+        m, _d = _mujoco_from(world)
+        id2name = {v: k for k, v in world.compiled.body_name2id.items()}
+        for bid in range(1, model.nbody):
+            mj_bid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_BODY, id2name[bid])
+            assert np.isclose(
+                float(model.body_mass[bid]), m.body_mass[mj_bid], rtol=1e-5
+            )
+            assert np.allclose(
+                np.asarray(model.body_inertia[bid]),
+                m.body_inertia[mj_bid],
+                rtol=1e-4,
+                atol=1e-14,
+            )
+
+    def test_bio_passive_dynamics_matches(self, bio_world):
+        """Passive spring-damper swing of all 126 DoFs — including the
+        head, antennae, proboscis, abdomen, and wing chains — vs MuJoCo."""
+        _fly, world = bio_world
+        model, state = world.compile()
+        m, d = _mujoco_from(world)
+        names = list(world.compiled.hinge_name2id)
+        hq_mj = np.array(
+            [
+                m.jnt_qposadr[mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_JOINT, n)]
+                for n in names
+            ]
+        )
+        hq_me = np.array([world.compiled.hinge_qadr[n] for n in names])
+        jstep = jax.jit(step)
+        for _ in range(150):
+            state = jstep(model, state)
+            mujoco.mj_step(m, d)
+        err = np.abs(np.asarray(state.qpos)[hq_me] - d.qpos[hq_mj]).max()
+        assert err < 1e-4, err
+
+    def test_full_204dof_fk_matches_mujoco(self, full_world):
+        _fly, world = full_world
+        assert world.compile()[0].nv == 204
+        self._assert_fk_matches(world)
+
+
 class TestCondimGolden:
     """Torsional/rolling friction (condim 4/6) vs MuJoCo's pyramidal cones."""
 

@@ -188,6 +188,43 @@ class TestEmitterMatchesEngine:
         )
 
 
+class TestEmitterStrictMode:
+    """Strict-parity exact-Newton mode runs IN-KERNEL: the emitter re-fills
+    and re-factors the Hessian from the current active set at every Newton
+    iteration, mirroring engine/contact.py _solve_primal_newton's
+    ``model.solver_exact`` branch."""
+
+    @pytest.fixture(scope="class")
+    def strict_settled(self):
+        world = _world()
+        world.spec.options["solver_exact"] = True
+        world.spec.options["solver_iterations"] = 10
+        model, state0 = world.compile()
+        assert model.solver_exact
+        ctrl = jnp.zeros((model.nu,), jnp.float32)
+        bstate = _batched_state(model, state0, n_steps=300, ctrl=ctrl)
+        return model, bstate
+
+    def test_supported_and_matches_engine(self, strict_settled):
+        model, bstate = strict_settled
+        assert ms.megastep_supported(model), (
+            "strict exact-Newton must be kernel-eligible"
+        )
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        got = _emit_batched(model, bstate)
+        np.testing.assert_allclose(
+            np.asarray(got["qacc"]), np.asarray(ref.qacc), rtol=6e-3, atol=0.2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["qvel"]), np.asarray(ref.qvel), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["qpos"]),
+            np.asarray(ref.qpos),
+            atol=1e-6 + 2e-4 * float(model.timestep),
+        )
+
+
 class TestPallasCallPlumbing:
     """The full pallas_call glue — input packing/transpose, padding to the
     (SUBLANES, LANE) world block, 4-D block specs, per-row read/write

@@ -188,3 +188,86 @@ class TestPairRowsOnTPU:
         np.testing.assert_allclose(
             np.asarray(got.qvel), np.asarray(ref.qvel), atol=1e-1
         )
+
+
+class TestKStepFusionOnTPU:
+    """K-step fused kernel (make_megastep(k_steps=K)): K physics steps per
+    kernel invocation must match K sequential 1-step kernel launches, and
+    the emitted per-step qpos trajectory must match step by step."""
+
+    def test_kstep_matches_sequential(self, flat_world_state):
+        from flygym_tpu.ops.megastep import make_megastep
+
+        model, bstate, _, mega = flat_world_state
+        K = 8
+        kk = make_megastep(model, k_steps=K)
+        rng = np.random.RandomState(2)
+        ctrl_seq = jnp.asarray(
+            np.asarray(bstate.ctrl)[None]
+            + 0.01 * rng.randn(K, B, model.nu).astype(np.float32)
+        )
+        s = bstate
+        traj_ref = []
+        for k in range(K):
+            s = mega(dataclasses.replace(s, ctrl=ctrl_seq[k]))
+            traj_ref.append(np.asarray(s.qpos))
+        s2, traj = kk(bstate, ctrl_seq)
+        traj = np.asarray(traj)
+        assert traj.shape == (K, B, model.nq)
+        for k in range(K):
+            # Same op sequence on the same values; only Mosaic scheduling
+            # differences between the loop body and the straight-line
+            # kernel can introduce ulp-level noise.
+            np.testing.assert_allclose(traj[k], traj_ref[k], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s2.qpos), traj_ref[-1], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2.qvel), np.asarray(s.qvel), atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2.contact_sensordata[..., :4]),
+            np.asarray(s.contact_sensordata[..., :4]),
+            rtol=1e-2,
+            atol=2e-2,
+        )
+
+
+class TestStrictModeOnTPU:
+    """Strict exact-Newton mode in-kernel (re-factor per iteration) vs the
+    engine's jnp exact path."""
+
+    def test_strict_kernel_matches_jnp(self):
+        from flygym_tpu.engine.step import rollout_batched
+        from flygym_tpu.ops.megastep import make_megastep, megastep_supported
+
+        fly = Fly(name="f")
+        fly.add_joints(
+            Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_leg_adhesion()
+        world = FlatGroundWorld()
+        world.add_fly(fly, (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+        world.spec.options["solver_exact"] = True
+        world.spec.options["solver_iterations"] = 10
+        model, state0 = world.compile()
+        assert model.solver_exact and megastep_supported(model)
+
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
+        )
+        nan_ctrl = jnp.full((600, B, model.nu), jnp.nan, jnp.float32)
+        bstate, _ = rollout_batched(model, bstate, nan_ctrl, 600)
+        mega = make_megastep(model)
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        got = mega(bstate)
+        np.testing.assert_allclose(
+            np.asarray(got.xpos), np.asarray(ref.xpos), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.qpos), np.asarray(ref.qpos), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.qvel), np.asarray(ref.qvel), atol=5e-2
+        )
