@@ -105,10 +105,19 @@ class Fly(BaseCompositionElement):
         name: Identifier for this fly instance.
         rigging_config_path: JSON with per-segment pos/quat/mass.
         geometry_path: JSON with derived capsule fits and inertial data.
+        mesh_basedir: Optional directory of per-segment STL meshes
+            (``{mesh_type}/{segment}.stl`` with ``fullsize/`` fallback, or
+            flat ``{segment}.stl`` — the reference's layout,
+            ``fly.py:507-543``). When given, geometry (inertials + capsule
+            fits) is derived from the meshes AT COMPOSE TIME via the
+            native mesh toolchain instead of loading ``geometry_path``;
+            right-side segments are mirrored from left meshes when
+            ``mirror_left2right``.
         root_segment: Root of the kinematic tree.
-        mirror_left2right: Kept for API parity (mirroring is baked into the
-            derived geometry).
-        mesh_type: Kept for API parity.
+        mirror_left2right: Mirror left meshes to the right side. Without
+            ``mesh_basedir`` this is baked into the derived geometry.
+        mesh_type: Preferred mesh subdirectory when deriving from
+            ``mesh_basedir``.
         geom_fitting_option: Inertial data selection (see class above).
 
     Attributes mirror the reference's mapping tables (``fly.py:109-135``),
@@ -121,6 +130,7 @@ class Fly(BaseCompositionElement):
         *,
         rigging_config_path: PathLike = DEFAULT_RIGGING_CONFIG_PATH,
         geometry_path: PathLike = DEFAULT_GEOMETRY_PATH,
+        mesh_basedir: PathLike | None = None,
         root_segment: BodySegment | str = "c_thorax",
         mirror_left2right: bool = True,
         mesh_type: MeshType = MeshType.SIMPLIFIED_MAX2000FACES,
@@ -148,8 +158,18 @@ class Fly(BaseCompositionElement):
 
         with open(rigging_config_path) as f:
             self._rigging = json.load(f)
-        with open(geometry_path) as f:
-            self._geometry = json.load(f)
+        if mesh_basedir is not None:
+            from flygym_tpu.compose.meshes import derive_geometry_from_meshes
+
+            self._geometry = derive_geometry_from_meshes(
+                mesh_basedir,
+                self._rigging,
+                mesh_type=MeshType(mesh_type).value,
+                mirror_left2right=mirror_left2right,
+            )
+        else:
+            with open(geometry_path) as f:
+                self._geometry = json.load(f)
 
         self._add_bodies_and_geoms()
 

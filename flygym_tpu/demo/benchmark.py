@@ -106,7 +106,7 @@ class ReplayTargetData:
 
 @partial(
     jax.jit,
-    static_argnames=("n_steps", "batched_step"),
+    static_argnames=("n_steps", "batched_step", "kstep_fn"),
     donate_argnums=(1,),
 )
 def _replay_episode(model, state, targets, act_ids, n_steps: int,

@@ -133,3 +133,91 @@ class TestSTLRoundtrip:
         loaded = load_stl(path)
         assert loaded.shape == (12, 3, 3)
         assert np.allclose(loaded, tris, atol=1e-12)
+
+
+def _write_stl(path, tris):
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for v in t:
+                f.write(struct.pack("<3f", *v))
+            f.write(struct.pack("<H", 0))
+
+
+class TestRuntimeMeshGeometry:
+    """Compose-time geometry derivation from user STL directories
+    (Fly(mesh_basedir=...), the reference's runtime mesh path,
+    flygym ``compose/fly.py:507-543``)."""
+
+    def test_derive_box_analytic(self, tmp_path):
+        from flygym_tpu.compose.meshes import derive_geometry_from_meshes
+
+        # Box 1x2x3 mm at mesh scale 1e-3 m (so SCALE=1000 restores mm).
+        tris = make_box_mesh(1e-3, 2e-3, 3e-3)
+        _write_stl(tmp_path / "c_seg.stl", tris)
+        _write_stl(tmp_path / "l_seg.stl", tris + np.array([1e-3, 2e-3, 0]))
+        rigging = {
+            "c_seg": {"mass": 6e-6},
+            "l_seg": {"mass": 1e-6},
+            "r_seg": {"mass": 1e-6},
+        }
+        geo = derive_geometry_from_meshes(tmp_path, rigging)
+        mi = geo["c_seg"]["mesh_inertia"]
+        # Box inertia at mass m: m/12 (b^2+c^2) etc, mm units.
+        m = 6e-6
+        expected = sorted(m / 12 * np.array([4 + 9, 1 + 9, 1 + 4]))[::-1]
+        assert np.allclose(sorted(mi["diag"])[::-1], expected, rtol=1e-3)
+        assert np.allclose(mi["ipos"], 0.0, atol=1e-6)
+        # Mirrored right segment: com flips across y, volume stays positive.
+        li = geo["l_seg"]["mesh_inertia"]
+        ri = geo["r_seg"]["mesh_inertia"]
+        assert ri["ipos"][0] == pytest.approx(li["ipos"][0], abs=1e-9)
+        assert ri["ipos"][1] == pytest.approx(-li["ipos"][1], abs=1e-9)
+        assert np.allclose(sorted(ri["diag"]), sorted(li["diag"]), rtol=1e-9)
+        # Capsule fit present and sane.
+        cap = geo["c_seg"]["capsule"]
+        assert cap["size"][0] > 0 and cap["size"][1] >= 0
+
+    def test_fly_from_mesh_basedir_compiles_and_steps(self, tmp_path):
+        import jax
+
+        from flygym_tpu.anatomy import JointPreset, Skeleton
+        from flygym_tpu.compose import (
+            Fly,
+            KinematicPosePreset,
+            TetheredWorld,
+        )
+        from flygym_tpu.engine.step import step
+        from flygym_tpu.utils.math import Rotation3D
+
+        # One blob mesh reused for every needed source segment (left +
+        # center names; right sides mirror from left).
+        import json
+
+        from flygym_tpu.compose.fly import DEFAULT_RIGGING_CONFIG_PATH
+
+        rigging = json.loads(DEFAULT_RIGGING_CONFIG_PATH.read_text())
+        tris = make_box_mesh(4e-4, 2e-4, 6e-4)
+        needed = {
+            (f"l{n[1:]}" if n[0] == "r" else n) for n in rigging
+        }
+        for name in needed:
+            _write_stl(tmp_path / f"{name}.stl", tris)
+
+        fly = Fly(name="meshfly", mesh_basedir=tmp_path)
+        fly.add_joints(
+            Skeleton(axis_order="ypr", joint_preset=JointPreset.LEGS_ONLY),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        world = TetheredWorld()
+        world.add_fly(fly, (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+        model, state = world.compile()
+        assert model.nv == 66
+        jstep = jax.jit(step)
+        for _ in range(5):
+            state = jstep(model, state)
+        assert np.isfinite(np.asarray(state.qpos)).all()

@@ -566,7 +566,8 @@ class TestMaterialTable:
             return matches[0]
 
         # visuals.json: every fly material has specular/shininess 0.2.
-        femur = g("lf_femur")
+        # (tibia carries the flat "tibia" texture with mark prob 0.05.)
+        femur = g("lf_tibia")
         assert np.allclose(mat[femur], [0.2, 0.2])
         # Abdomen segments carry a gradient texture; femur a flat one with
         # mark probability 0.05; the eye is untextured.
