@@ -198,6 +198,13 @@ class ModelSpec:
             # Pure-jnp solver ops so jax.grad flows through the step.
             "differentiable": False,
             "ncon_max": None,  # None -> 16 per attached fly
+            # Nearest-neighbor compression of capsule-capsule pair rows:
+            # instead of solving every geom1-geom2 pair, each geom1 group
+            # contributes only its closest geom2 (per step). None -> auto
+            # (on for oversized pair sets, >= 512 rows: the full default
+            # two-fly preset is 3,025 rows, which would both overflow the
+            # mega-kernel's VMEM budget and dominate the jnp solver).
+            "pair_compress": None,
         }
         # Neutral keyframe ingredients, keyed by full identifiers.
         self.neutral_joint_qpos: dict[str, list[float]] = {}
@@ -778,13 +785,33 @@ class ModelSpec:
             )
         nrows_per_con = {1: 1, 3: 4, 4: 6, 6: 10}[condim]
 
+        # Pair-row groups: contiguous runs sharing geom1 (the nested loops
+        # in add_fly_fly_contacts emit them geom1-major). Used by the
+        # nearest-neighbor pair compression (engine/contact.py and the
+        # mega-kernel): each group contributes only its closest geom2.
+        pair_groups = []
+        if ncand_pair:
+            run_start, run_geom = 0, pair_rows[0][0]
+            for i in range(1, ncand_pair):
+                if pair_rows[i][0] != run_geom:
+                    pair_groups.append((run_start, i - run_start))
+                    run_start, run_geom = i, pair_rows[i][0]
+            pair_groups.append((run_start, ncand_pair - run_start))
+        pc_opt = self.options.get("pair_compress")
+        pair_compress = (ncand_pair >= 512) if pc_opt is None else bool(pc_opt)
+        if pair_compress and len(pair_groups) >= ncand_pair:
+            pair_compress = False  # one row per group: nothing to compress
+
         ncon_max = self.options["ncon_max"]
         if ncon_max is None:
             # Auto: 16 contact slots per root subtree (a fly touches the
             # ground with at most ~12 capsule ends during locomotion).
             n_roots = max(sum(1 for b in self.bodies if b.parent is None), 1)
             ncon_max = 16 * n_roots
-        ncon = min(int(ncon_max), ncand) if ncand else 0
+        ncand_eff = (
+            (ncand - ncand_pair) + len(pair_groups) if pair_compress else ncand
+        )
+        ncon = min(int(ncon_max), ncand_eff) if ncand else 0
         ref_body = free_joints[0][0] if free_joints else min(nb - 1, 1)
 
         model = PhysicsModel(
@@ -798,6 +825,8 @@ class ModelSpec:
             ngeom=ng,
             ncand=ncand,
             ncand_pair=ncand_pair,
+            pair_groups=tuple(pair_groups),
+            pair_compress=pair_compress,
             ncon=ncon,
             condim=condim,
             nsensor_contact=len(self.contact_sensors),

@@ -404,8 +404,25 @@ def solve_contacts(
     K = model.ncon
     dist_all, cpos_all, normal_all = contact_candidates(model, gpos, gquat)
 
-    # Top-K closest candidates (static shape compression).
-    _, sel = jax.lax.top_k(-dist_all, K)
+    # Nearest-neighbor pair compression: each geom1 group contributes only
+    # its closest geom2 (see PhysicsModel.pair_groups) — oversized pair
+    # sets (default two-fly preset: 3,025 rows) reduce to one row per
+    # geom1 before the top-K, bounding both solver work and (in the
+    # mega-kernel) the VMEM-resident row count.
+    if model.pair_compress and model.ncand_pair:
+        ng_rows = model.ncand - model.ncand_pair
+        winners = [
+            ng_rows + start + jnp.argmin(dist_all[ng_rows + start : ng_rows + start + size])
+            for start, size in model.pair_groups
+        ]
+        eff = jnp.concatenate(
+            [jnp.arange(ng_rows), jnp.stack(winners)]
+        )
+        _, sel_eff = jax.lax.top_k(-dist_all[eff], K)
+        sel = eff[sel_eff]
+    else:
+        # Top-K closest candidates (static shape compression).
+        _, sel = jax.lax.top_k(-dist_all, K)
     dist = dist_all[sel]
     cpos = cpos_all[sel]
     normal = normal_all[sel]

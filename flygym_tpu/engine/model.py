@@ -82,6 +82,13 @@ class PhysicsModel:
     # ncand_pair rows of the candidate table; the first ncand - ncand_pair
     # rows are capsule-end vs ground rows (static partition).
     ncand_pair: int = static_field()
+    # Pair-row grouping for nearest-neighbor compression: (start, size)
+    # runs (in pair-row space) sharing geom1. With pair_compress, only the
+    # closest geom2 of each group reaches the solver — the shape-static
+    # answer to oversized pair sets (e.g. the 3,025-row default two-fly
+    # preset), in exchange for at most one contact per geom1 per group.
+    pair_groups: tuple = static_field()
+    pair_compress: bool = static_field()
     ncon: int = static_field()  # max simultaneous contacts fed to the solver
     # Contact dimensionality (MuJoCo condim): 1 = frictionless, 3 = sliding,
     # 4 = + torsional, 6 = + rolling. Model-wide (static row count:

@@ -567,6 +567,10 @@ def megastep_supported(model) -> bool:
     """
     if model.solver_type == "pgs":
         return False
+    if model.pair_compress:
+        # Nearest-neighbor-compressed pair rows (engine/contact.py) are not
+        # yet emitted by the kernel; keep engine semantics authoritative.
+        return False
     est = (
         _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
     )
@@ -1919,66 +1923,21 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
 
     # Per-candidate local ground planes (h, n) sampled at the previous
     # step's candidate positions (state.xpos is the cached pre-integration
-    # FK) — see megastep_supported docstring. The bilinear table lookup
-    # uses one-hot MATMULS instead of XLA gathers: TPU generic gathers on
-    # (B·ncand) indices cost ~ms per step; two (N, nrow) @ (nrow, ncol)
-    # one-hot products ride the MXU. Exposed separately (sample_planes) so
-    # rollouts can amortize it over several steps: candidates move ~1e-3
-    # mm/step vs ~0.25 mm terrain cells, so a K-step-stale sample is far
-    # below contact resolution.
+    # FK) — see megastep_supported docstring and engine/terrain.py (which
+    # owns the method choice: windowed one-hot matmuls by default — full-
+    # grid one-hots measured as ~45% of terrain-world step time in round 2).
+    # Exposed separately (sample_planes) so rollouts can amortize it over
+    # several steps: candidates move ~1e-3 mm/step vs ~0.25 mm terrain
+    # cells, so a K-step-stale sample is far below contact resolution.
     if n_terrain:
-        from flygym_tpu.engine.maths import quat_mul, quat_rotate
+        from flygym_tpu.engine.terrain import make_plane_sampler
 
-        def planes(xpos, xquat):
-            dtype = jnp.float32
-            gb = model.geom_body[model.can_geom]
-            gpos = xpos[:, gb] + quat_rotate(
-                xquat[:, gb], model.geom_pos[model.can_geom]
-            )
-            gquat = quat_mul(xquat[:, gb], model.geom_quat[model.can_geom])
-            zax = quat_rotate(gquat, jnp.array([0.0, 0.0, 1.0], dtype))
-            halflen = model.geom_size[model.can_geom, 1]
-            ep = gpos + (model.can_end * halflen)[None, :, None] * zax
-            xy = ep[..., :2].reshape(-1, 2)  # (B*ncand, 2)
-
-            data = model.hfield_data
-            nr, nc = data.shape
-            fx = (xy[:, 0] - model.hfield_xy0[0]) / model.hfield_cell[0]
-            fy = (xy[:, 1] - model.hfield_xy0[1]) / model.hfield_cell[1]
-            fx = jnp.clip(fx, 0.0, nc - 1.001)
-            fy = jnp.clip(fy, 0.0, nr - 1.001)
-            ix = jnp.floor(fx)
-            iy = jnp.floor(fy)
-            tx = fx - ix
-            ty = fy - iy
-            rows = jnp.arange(nr, dtype=dtype)
-            cols = jnp.arange(nc, dtype=dtype)
-            Y0 = (iy[:, None] == rows[None, :]).astype(dtype)
-            Y1 = (iy[:, None] + 1.0 == rows[None, :]).astype(dtype)
-            X0 = (ix[:, None] == cols[None, :]).astype(dtype)
-            X1 = (ix[:, None] + 1.0 == cols[None, :]).astype(dtype)
-            R0 = Y0 @ data  # (N, nc)
-            R1 = Y1 @ data
-            h00 = jnp.sum(R0 * X0, -1)
-            h01 = jnp.sum(R0 * X1, -1)
-            h10 = jnp.sum(R1 * X0, -1)
-            h11 = jnp.sum(R1 * X1, -1)
-            h = (
-                h00 * (1 - tx) * (1 - ty)
-                + h01 * tx * (1 - ty)
-                + h10 * (1 - tx) * ty
-                + h11 * tx * ty
-            )
-            dh_dx = ((h01 - h00) * (1 - ty) + (h11 - h10) * ty) / model.hfield_cell[0]
-            dh_dy = ((h10 - h00) * (1 - tx) + (h11 - h01) * tx) / model.hfield_cell[1]
-            n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)], -1)
-            n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-            return jnp.concatenate([h[:, None], n], axis=1)  # (B*ncand, 4)
+        _sampler = make_plane_sampler(model)
 
         def sample_planes(state):
             """(B,)-batched state -> (B, n_terrain) ground-plane rows."""
             B = state.qpos.shape[0]
-            return planes(state.xpos, state.xquat).reshape(B, n_terrain)
+            return _sampler(state.xpos, state.xquat).reshape(B, n_terrain)
 
     else:
         sample_planes = None

@@ -1,0 +1,128 @@
+"""Nearest-neighbor pair compression (PhysicsModel.pair_compress).
+
+The default two-fly fly-fly contact preset emits 55x55 = 3,025
+capsule-capsule pair rows; compression reduces that to one row per geom1
+(its closest geom2) before the solver, making the model tractable for
+both the jnp solver and the mega-step kernel. These tests pin: (a) the
+compile-time auto gate and group table, (b) bit-equality with the
+uncompressed model when no fly-fly contact is near (the selection can
+only matter when pairs activate), and (c) physical sanity + bounded
+divergence in an actual stacking contact scene.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flygym_tpu.anatomy import AxisOrder, JointPreset, Skeleton
+from flygym_tpu.compose import Fly, FlatGroundWorld, KinematicPosePreset
+from flygym_tpu.engine.step import step
+from flygym_tpu.utils.math import Rotation3D
+
+
+def _mkfly(name):
+    fly = Fly(name=name)
+    fly.add_joints(
+        Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+        neutral_pose=KinematicPosePreset.NEUTRAL,
+    )
+    return fly
+
+
+def _two_fly_world(dz, compress=None):
+    world = FlatGroundWorld()
+    world.add_fly(_mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+    world.add_fly(_mkfly("b"), (0, 0, 1.2 + dz), Rotation3D("quat", (1, 0, 0, 0)))
+    n = world.add_fly_fly_contacts("a", "b")
+    assert n == 3025
+    if compress is not None:
+        world._spec.options["pair_compress"] = compress
+    return world
+
+
+class TestCompileGate:
+    def test_auto_compresses_default_preset(self):
+        model, _ = _two_fly_world(dz=2.0).compile()
+        assert model.pair_compress
+        assert model.ncand_pair == 3025
+        assert len(model.pair_groups) == 55
+        assert all(size == 55 for _, size in model.pair_groups)
+        # Groups tile the pair-row range contiguously.
+        ends = [s + n for s, n in model.pair_groups]
+        starts = [s for s, _ in model.pair_groups]
+        assert starts[0] == 0 and ends[-1] == 3025
+        assert starts[1:] == ends[:-1]
+        # ncon sized from the EFFECTIVE candidate count.
+        assert model.ncon == 32
+
+    def test_small_sets_stay_exact(self):
+        from flygym_tpu.anatomy import ContactBodiesPreset
+
+        world = FlatGroundWorld()
+        world.add_fly(_mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+        world.add_fly(_mkfly("b"), (0, 0, 3.2), Rotation3D("quat", (1, 0, 0, 0)))
+        segs = [
+            s
+            for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
+            if "thorax" in s.name
+        ]
+        world.add_fly_fly_contacts("a", "b", bodysegs=segs)
+        model, _ = world.compile()
+        assert not model.pair_compress
+
+    def test_explicit_override(self):
+        model, _ = _two_fly_world(dz=2.0, compress=False).compile()
+        assert not model.pair_compress
+
+
+class TestSemantics:
+    def test_bit_equal_when_pairs_inactive(self):
+        """Flies far apart: no pair row is ever near activation, so the
+        compressed and full models must produce identical trajectories
+        (the ground rows dominate the top-K in both)."""
+        mc, sc = _two_fly_world(dz=30.0).compile()
+        mf, sf = _two_fly_world(dz=30.0, compress=False).compile()
+        assert mc.ncon == mf.ncon  # same solver shapes
+        stepc = jax.jit(lambda s: step(mc, s))
+        stepf = jax.jit(lambda s: step(mf, s))
+        for _ in range(30):
+            sc = stepc(sc)
+            sf = stepf(sf)
+        np.testing.assert_array_equal(np.asarray(sc.qpos), np.asarray(sf.qpos))
+
+    def test_stacking_scene_stays_physical(self):
+        """Fly b dropped onto fly a: with compression the top fly must be
+        supported by fly-fly contacts (not fall through) and stay finite;
+        divergence vs the full pair set stays bounded over the impact."""
+        mc, sc = _two_fly_world(dz=1.8).compile()
+        mf, sf = _two_fly_world(dz=1.8, compress=False).compile()
+        stepc = jax.jit(lambda s: step(mc, s))
+        stepf = jax.jit(lambda s: step(mf, s))
+        nq1 = mc.nq // 2
+        for _ in range(120):
+            sc = stepc(sc)
+            sf = stepf(sf)
+        zc = float(sc.qpos[nq1 + 2])
+        zf = float(sf.qpos[nq1 + 2])
+        assert np.isfinite(np.asarray(sc.qpos)).all()
+        assert zc > 1.0, f"top fly fell through (z={zc})"
+        # Same supported height to within a contact-softness envelope.
+        assert abs(zc - zf) < 0.1, (zc, zf)
+
+
+def test_kernel_gate_matches_engine_semantics():
+    """Until the kernel emits compressed rows, compressed models must NOT
+    claim kernel support (the kernel would solve all 3,025 pairs and
+    diverge from the engine); uncompressed oversized models keep falling
+    back on VMEM grounds as before."""
+    from flygym_tpu.ops.megastep import megastep_supported
+
+    mc, _ = _two_fly_world(dz=2.0).compile()
+    mf, _ = _two_fly_world(dz=2.0, compress=False).compile()
+    assert not megastep_supported(mf)
+    if not mc.pair_compress:  # pragma: no cover - guard
+        pytest.skip("auto gate off")
