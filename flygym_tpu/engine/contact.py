@@ -174,6 +174,76 @@ def contact_candidates(model: PhysicsModel, gpos, gquat):
     )
 
 
+def make_pair_winner_sampler(model: PhysicsModel):
+    """Build ``sample(xpos, xquat) -> (B, n_groups)`` winner indices.
+
+    For pair-compressed models (``PhysicsModel.pair_compress``) the
+    mega-step kernel solves ONE capsule-capsule row per geom1 group; the
+    group's effective geom2 — its nearest member, the same argmin as the
+    in-step selection in ``solve_contacts`` — is picked OUT of the kernel
+    from the cached FK on ``State``, K-chunk-stale, under the same
+    staleness contract as the terrain planes (see ops/megastep.py:
+    capsules move ~1e-3 mm/step, so the nearest-member choice flips far
+    slower than the kernel chunk length).
+
+    ``xpos``/``xquat`` are batched world body poses (B, nbody, 3/4).
+    Winner indices are GROUP-LOCAL (0..size-1), returned as float32 lane
+    values the kernel blends with eq-masks. Returns None for models
+    without compressed pair rows.
+    """
+    if not (model.pair_compress and model.ncand_pair):
+        return None
+    import numpy as np
+
+    from flygym_tpu.engine.maths import quat_mul
+
+    ng = model.ncand - model.ncand_pair
+    g1 = model.can_geom[ng:]
+    g2 = model.can_geom2[ng:]
+    b1 = model.geom_body[g1]
+    b2 = model.geom_body[g2]
+    r1 = model.geom_size[g1, 0]
+    r2 = model.geom_size[g2, 0]
+    h1 = model.geom_size[g1, 1]
+    h2 = model.geom_size[g2, 1]
+    p1_l, q1_l = model.geom_pos[g1], model.geom_quat[g1]
+    p2_l, q2_l = model.geom_pos[g2], model.geom_quat[g2]
+
+    # Static gather table: (n_groups, gmax) pair-row indices, +inf pad so
+    # argmin never picks a padded slot (groups are contiguous runs but may
+    # differ in size when bodysegs subsets are asymmetric).
+    groups = list(model.pair_groups)
+    gmax = max(size for _, size in groups)
+    idx = np.zeros((len(groups), gmax), np.int32)
+    pad = np.full((len(groups), gmax), np.inf, np.float32)
+    for i, (start, size) in enumerate(groups):
+        idx[i, :size] = start + np.arange(size)
+        pad[i, :size] = 0.0
+    idx = jnp.asarray(idx)
+    pad = jnp.asarray(pad)
+
+    def sample(xpos, xquat):
+        up = jnp.array([0.0, 0.0, 1.0], xpos.dtype)
+
+        def frame(bb, gg_pos, gg_quat):
+            p = xpos[:, bb] + quat_rotate(xquat[:, bb], gg_pos)
+            z = quat_rotate(quat_mul(xquat[:, bb], gg_quat), up)
+            return p, z
+
+        p1, z1 = frame(b1, p1_l, q1_l)
+        p2, z2 = frame(b2, p2_l, q2_l)
+        a0 = p1 - h1[None, :, None] * z1
+        a1 = p1 + h1[None, :, None] * z1
+        c0 = p2 - h2[None, :, None] * z2
+        c1 = p2 + h2[None, :, None] * z2
+        s1, s2 = _segseg_closest(a0, a1, c0, c1)
+        dist = jnp.linalg.norm(s1 - s2, axis=-1) - r1 - r2  # (B, npair)
+        dmat = dist[:, idx] + pad  # (B, n_groups, gmax)
+        return jnp.argmin(dmat, axis=-1).astype(xpos.dtype)
+
+    return sample
+
+
 def _impedance(solimp: jnp.ndarray, pos_err: jnp.ndarray) -> jnp.ndarray:
     """MuJoCo solimp impedance d(r) as a function of constraint violation."""
     dmin, dmax, width, mid, power = (

@@ -148,7 +148,12 @@ def make_plane_sampler(model, method: str | None = None):
         n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
         return jnp.concatenate([h[..., None], n], axis=-1)  # (..., 4)
 
-    if method == "onehot":
+    if method in ("onehot", "onehot_bf16"):
+        # bf16 variant: the one-hot selectors are EXACT in bf16 (0/1); only
+        # the height grid rounds (<= 2^-9 relative, sub-um at mm heights),
+        # for ~2x MXU rate and half the HBM traffic on the big operands.
+        sel_t = jnp.bfloat16 if method == "onehot_bf16" else _F32
+        data_t = data.astype(sel_t)
 
         def sample(xpos, xquat):
             fx, fy = frac_coords(endpoints_xy(xpos, xquat))
@@ -161,12 +166,12 @@ def make_plane_sampler(model, method: str | None = None):
             ty = fy - iy
             rows = jnp.arange(nr, dtype=_F32)
             cols = jnp.arange(nc, dtype=_F32)
-            Y0 = (iy[:, None] == rows[None, :]).astype(_F32)
-            Y1 = (iy[:, None] + 1.0 == rows[None, :]).astype(_F32)
+            Y0 = (iy[:, None] == rows[None, :]).astype(sel_t)
+            Y1 = (iy[:, None] + 1.0 == rows[None, :]).astype(sel_t)
             X0 = (ix[:, None] == cols[None, :]).astype(_F32)
             X1 = (ix[:, None] + 1.0 == cols[None, :]).astype(_F32)
-            R0 = Y0 @ data
-            R1 = Y1 @ data
+            R0 = jnp.matmul(Y0, data_t, preferred_element_type=_F32)
+            R1 = jnp.matmul(Y1, data_t, preferred_element_type=_F32)
             h00 = jnp.sum(R0 * X0, -1)
             h01 = jnp.sum(R0 * X1, -1)
             h10 = jnp.sum(R1 * X0, -1)
@@ -189,7 +194,8 @@ def make_plane_sampler(model, method: str | None = None):
             h11 = jnp.take(flat, base + nc + 1)
             return finish(h00, h01, h10, h11, tx, ty)
 
-    elif method == "window":
+    elif method in ("window", "window_gather"):
+        gather_fetch = method == "window_gather"
 
         def sample(xpos, xquat):
             fx_all, fy_all = frac_coords(endpoints_xy(xpos, xquat))
@@ -202,15 +208,40 @@ def make_plane_sampler(model, method: str | None = None):
                 fy = fy_all[:, cand_idx]
                 sx = jnp.clip(
                     jnp.floor(fx.min(axis=1)) - 1.0, 0.0, float(nc - W)
-                ).astype(jnp.int32)
+                )
                 sy = jnp.clip(
                     jnp.floor(fy.min(axis=1)) - 1.0, 0.0, float(nr - W)
-                ).astype(jnp.int32)
-                win = jax.vmap(
-                    lambda y, x: jax.lax.dynamic_slice(data, (y, x), (W, W))
-                )(sy, sx)  # (B, W, W)
-                lx = jnp.clip(fx - sx[:, None].astype(_F32), 0.0, W - 1.001)
-                ly = jnp.clip(fy - sy[:, None].astype(_F32), 0.0, W - 1.001)
+                )
+                if gather_fetch:
+                    win = jax.vmap(
+                        lambda y, x: jax.lax.dynamic_slice(
+                            data, (y, x), (W, W)
+                        )
+                    )(sy.astype(jnp.int32), sx.astype(jnp.int32))
+                else:
+                    # One-hot window fetch: (r == sy + w) / (c == sx + w)
+                    # shifted-diagonal selectors ride the MXU instead of a
+                    # per-world gather (vmapped dynamic_slice measured 2x
+                    # SLOWER than even the full-grid one-hot).
+                    war = jnp.arange(W, dtype=_F32)
+                    rows_oh = (
+                        sy[:, None, None] + war[None, :, None]
+                        == jnp.arange(nr, dtype=_F32)[None, None, :]
+                    ).astype(_F32)  # (B, W, nr)
+                    cols_oh = (
+                        jnp.arange(nc, dtype=_F32)[None, :, None]
+                        == sx[:, None, None] + war[None, None, :]
+                    ).astype(_F32)  # (B, nc, W)
+                    rowwin = jnp.einsum(
+                        "bwr,rc->bwc", rows_oh, data,
+                        preferred_element_type=_F32,
+                    )
+                    win = jnp.einsum(
+                        "bwc,bcv->bwv", rowwin, cols_oh,
+                        preferred_element_type=_F32,
+                    )  # (B, W, W), exact (one-hot selection)
+                lx = jnp.clip(fx - sx[:, None], 0.0, W - 1.001)
+                ly = jnp.clip(fy - sy[:, None], 0.0, W - 1.001)
                 ix = jnp.floor(lx)
                 iy = jnp.floor(ly)
                 tx = lx - ix

@@ -62,6 +62,21 @@ SUBLANES = int(__import__("os").environ.get("FLYGYM_TPU_MEGASTEP_SUBLANES", "8")
 BLOCK = SUBLANES * LANE
 
 
+def _pair_comp_shape(model):
+    """(n_groups, max_group_size, kernel_ncand) for pair_compress models.
+
+    ``kernel_ncand`` is the row count the kernel actually emits: ground
+    rows plus ONE row per geom1 group. Uncompressed models return
+    (0, 0, model.ncand).
+    """
+    if not (model.pair_compress and model.ncand_pair):
+        return 0, 0, model.ncand
+    ng = model.ncand - model.ncand_pair
+    n_groups = len(model.pair_groups)
+    gmax = max(size for _, size in model.pair_groups)
+    return n_groups, gmax, ng + n_groups
+
+
 def _est_scoped_mb(model) -> float:
     """Estimated Mosaic scoped-VMEM use of the kernel, in MiB.
 
@@ -87,9 +102,19 @@ def _est_scoped_mb(model) -> float:
     # so this over-estimates the stack — safe (the per-kernel VMEM limit
     # is sized from it) but worth re-measuring on hardware since an
     # oversized scoped region itself taxes throughput (see ROADMAP).
-    stack = 20.0 + 0.25 * model.nv + 0.11 * model.ncand
-    n_terrain = 4 * model.ncand if model.has_hfield else 0
-    n_in = model.nq + 2 * model.nv + model.nu + model.na + n_terrain
+    n_groups, gmax, kernel_ncand = _pair_comp_shape(model)
+    stack = 20.0 + 0.25 * model.nv + 0.11 * kernel_ncand
+    # Compressed pair rows keep only the winner lane + per-row jar/jd/djd
+    # scalars resident through the solve (sign masks and comps are rebuilt
+    # lazily at each use point — no_comp_cache); the member-blend eq-masks
+    # peak at gmax transient tiles while the row geometry is assembled.
+    tile_mb = (SUBLANES * LANE * 4) / 2**20
+    nrows = max(1, 2 * (model.condim - 1))
+    stack += (gmax + 3 * nrows * n_groups) * tile_mb
+    n_terrain = 4 * kernel_ncand if model.has_hfield else 0
+    n_in = (
+        model.nq + 2 * model.nv + model.nu + model.na + n_terrain + n_groups
+    )
     n_out = (
         model.nq
         + 2 * model.nv
@@ -124,16 +149,17 @@ def _est_stream_mb(model) -> float:
     D·jd line-search rows), plus the same double-buffered block I/O term
     as the fused kernel.
     """
+    _n_groups, _gmax, kernel_ncand = _pair_comp_shape(model)
     npairs = model.nv + sum(len(c) for c in model.dof_chains)
     lanes = (
         6 * model.nv
         + 7 * model.nbody
         + 3 * npairs
         + 4 * model.nv
-        + 38 * model.ncand
+        + 38 * kernel_ncand
     )
     return 12.0 + lanes / 256.0 + (_est_scoped_mb(model) - 20.0
-                                   - 0.25 * model.nv - 0.11 * model.ncand)
+                                   - 0.25 * model.nv - 0.11 * kernel_ncand)
 
 
 def _stream_mode(model) -> bool:
@@ -464,6 +490,97 @@ class _Static:
         self.has_hfield = bool(model.has_hfield)
         self.nsensor = model.nsensor_contact
 
+        # Nearest-neighbor pair compression (PhysicsModel.pair_compress):
+        # collapse each geom1 group to ONE kernel row whose geom2 is picked
+        # at runtime (out-of-kernel argmin over the group, K-chunk-stale —
+        # same staleness contract as the terrain planes). The candidate
+        # table is re-sliced to ground rows + one row per group; the
+        # group's members and per-DoF participation live here as static
+        # structures the emitter blends with the winner-index eq-masks.
+        self.pair_comp_groups = []
+        self.pair_keep = None
+        if model.pair_compress and self.ncand_pair:
+            ng = self.ncand - self.ncand_pair
+            keep = list(range(ng))
+            for start, size in model.pair_groups:
+                rows = [ng + start + j for j in range(size)]
+                r0 = rows[0]
+                for r in rows[1:]:
+                    assert int(self.can_geom[r]) == int(self.can_geom[r0]), (
+                        "pair group mixes geom1"
+                    )
+                    assert (
+                        np.array_equal(self.can_friction[r], self.can_friction[r0])
+                        and np.array_equal(self.can_solref[r], self.can_solref[r0])
+                        and np.array_equal(self.can_solimp[r], self.can_solimp[r0])
+                        and self.can_margin[r] == self.can_margin[r0]
+                    ), "pair group mixes contact params"
+                members = [
+                    (int(self.can_geom2[r]), int(self.can_body2[r]))
+                    for r in rows
+                ]
+                # Per-DoF sign spec over the group's geom2 union: "all"
+                # (every member moves this DoF — free/root joints — so the
+                # sign is the STATIC -1 of an ordinary two-body row) or a
+                # tuple of contiguous member-index runs, from which the
+                # emitter builds lo<=w<=hi masks LAZILY at each use point.
+                # Only the winner lane value w stays live through the solve
+                # (vs one resident mask tile per union DoF — measured 15+
+                # MiB of scoped VMEM on the default two-fly preset).
+                member_dofs = [
+                    set(self.body_path_dofs[b2]) for _g2, b2 in members
+                ]
+                dof_members = {}
+                for j, dofs in enumerate(member_dofs):
+                    for d in dofs:
+                        dof_members.setdefault(d, []).append(j)
+                g1_path = set(self.body_path_dofs[int(self.can_body[r0])])
+                dof_sign_spec = {}
+                for d, js in sorted(dof_members.items()):
+                    assert d not in g1_path, (
+                        "pair group geom2 shares DoFs with geom1 (same "
+                        "kinematic tree) — compression assumes disjoint "
+                        "trees (fly-fly contacts)"
+                    )
+                    if len(js) == size:
+                        dof_sign_spec[d] = "all"
+                        continue
+                    runs = []
+                    lo = prev = js[0]
+                    for j in js[1:]:
+                        if j == prev + 1:
+                            prev = j
+                            continue
+                        runs.append((lo, prev))
+                        lo = prev = j
+                    runs.append((lo, prev))
+                    dof_sign_spec[d] = tuple(runs)
+                self.pair_comp_groups.append(
+                    dict(
+                        row0=r0,
+                        members=members,
+                        invw=[float(self.can_invweight[r, 0]) for r in rows],
+                        dof_sign_spec=dof_sign_spec,
+                    )
+                )
+                keep.append(r0)
+            keep = np.asarray(keep, np.int64)
+            self.pair_keep = keep  # model-row -> kernel-row selection
+            self.can_geom = self.can_geom[keep]
+            self.can_body = self.can_body[keep]
+            self.can_geom2 = self.can_geom2[keep]
+            self.can_body2 = self.can_body2[keep]
+            self.can_end = self.can_end[keep]
+            self.can_friction = self.can_friction[keep]
+            self.can_solref = self.can_solref[keep]
+            self.can_solimp = self.can_solimp[keep]
+            self.can_margin = self.can_margin[keep]
+            self.can_adh_act = self.can_adh_act[keep]
+            self.can_sensor = self.can_sensor[keep]
+            self.can_invweight = self.can_invweight[keep]
+            self.ncand_pair = len(self.pair_comp_groups)
+            self.ncand = ng + self.ncand_pair
+
         # Candidates grouped by adhesion actuator / sensor slot (static).
         self.adh_groups = {}
         for c in range(self.ncand):
@@ -552,12 +669,15 @@ def megastep_supported(model) -> bool:
     search).
 
     The kernel processes EVERY candidate (no top-K compression), so its
-    Mosaic scoped-VMEM use grows with the model (see :func:`_est_scoped_mb`):
-    models estimated past the 112 MiB scoped limit (e.g. two flies with the
-    full default fly-fly contact preset → 3,025 pair rows) fall back to the
-    jnp path, which top-K-compresses to ncon before the solver. Narrow
-    fly-fly contact sets (e.g. ``bodysegs=`` a trunk-only list) stay
-    in-kernel.
+    Mosaic scoped-VMEM use grows with the model (see :func:`_est_scoped_mb`);
+    models estimated past the limit fall back to the jnp path, which
+    top-K-compresses to ncon before the solver. Oversized fly-fly pair sets
+    are handled by nearest-neighbor pair compression (PhysicsModel.
+    pair_compress, auto for >= 512 pair rows): the kernel emits ONE row per
+    geom1 group whose geom2 is the group's runtime winner, sampled out of
+    the kernel (K-chunk-stale, like the terrain planes) and blended with
+    eq-masks — the default two-fly preset (3,025 pair rows → 55 kernel
+    rows) runs in-kernel this way.
 
     The strict-parity exact-Newton mode (model.solver_exact) runs
     in-kernel: the Hessian is re-filled and re-factored from the current
@@ -566,10 +686,6 @@ def megastep_supported(model) -> bool:
     path (different algorithm, used for solver-validation only).
     """
     if model.solver_type == "pgs":
-        return False
-    if model.pair_compress:
-        # Nearest-neighbor-compressed pair rows (engine/contact.py) are not
-        # yet emitted by the kernel; keep engine semantics authoritative.
         return False
     est = (
         _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
@@ -582,7 +698,7 @@ def megastep_supported(model) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
+def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None, widx=None):
     """Emit one physics step.
 
     Args:
@@ -590,6 +706,8 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
         q, v, ctrl, act, warm: lists of lane vectors (len nq/nv/nu/na/nv).
         terrain: per-candidate local ground planes [(h, nx, ny, nz)] of lane
             vectors (heightfield worlds; None = flat plane at ground_z).
+        widx: per-group winner indices (lane vectors, len = number of
+            compressed pair groups) for pair_compress models.
 
     Returns dict with lists of lane vectors: qpos, qvel, act, qacc,
     xpos (nbody of 3-tuples), xquat (nbody of 4-tuples), site_xpos,
@@ -891,7 +1009,8 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None):
     # ---------------- contacts --------------------------------------------
     contacts_fn = _emit_contacts_stream if st.stream else _emit_contacts
     qacc, con = contacts_fn(
-        st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain
+        st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
+        terrain, widx,
     )
 
     # ---------------- integrate -------------------------------------------
@@ -1009,7 +1128,9 @@ def _muscle_force_lane(st, u, length, vel, a_slot, z):
     return gain * a_slot + bias
 
 
-def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
+def _cand_geom(
+    st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None, widx=None
+):
     """Per-candidate contact geometry + constraint-dynamics scalars.
 
     Rows [0, ncand - ncand_pair) are capsule-end vs ground (flat plane or
@@ -1051,6 +1172,8 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
     radius = float(st.geom_size[gi, 0])
     halflen = float(st.geom_size[gi, 1])
     b2 = None
+    pair_signs = None  # lane-valued geom2 DoF masks (compressed pair rows)
+    invw = None  # lane-valued invweight (compressed pair rows)
     if cidx < ng_rows:
         end = float(st.can_end[cidx])
         ep = _add3(gpos, _scale3(zax, end * halflen))
@@ -1065,11 +1188,58 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
             # Same signed-distance form as contact_candidates.
             dist = (ep[2] - h_c) * nz_c - radius
             cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
+    elif st.pair_comp_groups:
+        # Compressed pair row: geom2 is the group's runtime winner. Blend
+        # the (memoized) member geom poses/sizes with eq-masks of the
+        # winner index lane value; per-DoF signs for the second body
+        # become lane masks (see dof_components' lane-sign path).
+        grp = st.pair_comp_groups[cidx - ng_rows]
+        w = widx[cidx - ng_rows]
+        members = grp["members"]
+        eqs = [jnp.where(w == float(j), 1.0, 0.0) for j in range(len(members))]
+        gpos2 = (z, z, z)
+        zax2 = (z, z, z)
+        r2 = z
+        h2 = z
+        invw = z
+        for j, (gi2_j, _b2_j) in enumerate(members):
+            _bj, pj, zj = geom_world_frame(gi2_j)
+            e = eqs[j]
+            gpos2 = _add3(gpos2, _scale3(pj, e))
+            zax2 = _add3(zax2, _scale3(zj, e))
+            r2 = r2 + float(st.geom_size[gi2_j, 0]) * e
+            h2 = h2 + float(st.geom_size[gi2_j, 1]) * e
+            invw = invw + grp["invw"][j] * e
+        # Lazy sign masks: "all" DoFs take the ordinary static -1; run-listed
+        # DoFs get a zero-arg callable building the lo<=w<=hi mask at each
+        # use point (dof_components recomputes comps for these rows anyway —
+        # no_comp_cache — so nothing mask-shaped needs to stay resident).
+        pair_signs = {}
+        for d, spec in grp["dof_sign_spec"].items():
+            if spec == "all":
+                pair_signs[d] = 1.0
+                continue
+
+            def _mask(runs=spec, w=w):
+                acc = None
+                for lo, hi in runs:
+                    t = (
+                        jnp.where(w == float(lo), 1.0, 0.0)
+                        if lo == hi
+                        else jnp.where(
+                            (w >= float(lo)) & (w <= float(hi)), 1.0, 0.0
+                        )
+                    )
+                    acc = t if acc is None else acc + t
+                return acc
+
+            pair_signs[d] = _mask
     else:
         gi2 = int(st.can_geom2[cidx])
         b2, gpos2, zax2 = geom_world_frame(gi2)
         r2 = float(st.geom_size[gi2, 0])
         h2 = float(st.geom_size[gi2, 1])
+    if cidx >= ng_rows:
         a0 = _sub3(gpos, _scale3(zax, halflen))
         d1 = _scale3(zax, 2.0 * halflen)  # a1 - a0
         b0 = _sub3(gpos2, _scale3(zax2, h2))
@@ -1146,11 +1316,26 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
 
     # Two-body pair rows share the contact point: per-DoF sign is +1 when
     # the DoF moves body1, -1 when it moves body2 (contact.py:_affects).
+    # Compressed pair rows have LANE-VALUED geom2 signs (-eq-mask of the
+    # winner): the path spans the group's whole DoF union and
+    # dof_components folds the masks per DoF.
     dof_signs = {d: 1.0 for d in st.body_path_dofs[b]}
     if b2 is not None:
         for d in st.body_path_dofs[b2]:
             dof_signs[d] = dof_signs.get(d, 0.0) - 1.0
-    path = [d for d, sgn in dof_signs.items() if sgn != 0.0]
+    if pair_signs is not None:
+        for d, m in sorted(pair_signs.items()):
+            if callable(m):
+                # Disjoint trees (asserted at build): no geom1 contribution
+                # to fold in — the sign is just the negated lazy mask.
+                dof_signs[d] = (lambda m=m: -m())
+            else:
+                dof_signs[d] = dof_signs.get(d, 0.0) - m
+    path = [
+        d
+        for d, sgn in dof_signs.items()
+        if not (isinstance(sgn, (int, float)) and sgn == 0.0)
+    ]
     return dict(
         body=b,
         body2=b2,
@@ -1166,14 +1351,18 @@ def _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache=None):
         k_gain=k_gain,
         frame=frame,
         mu=tuple(float(x) for x in st.can_friction[cidx]),
-        invweight=float(st.can_invweight[cidx, 0]),
+        invweight=(
+            invw if invw is not None else float(st.can_invweight[cidx, 0])
+        ),
         adh=int(st.can_adh_act[cidx]),
         sensor=int(st.can_sensor[cidx]),
+        no_comp_cache=pair_signs is not None,
     )
 
 
 def _emit_contacts(
-    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain=None
+    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
+    terrain=None, widx=None,
 ):
     """Contact rows + tree-LDL + primal Newton on lane vectors (FUSED).
 
@@ -1187,13 +1376,14 @@ def _emit_contacts(
     """
     return _contacts_impl(
         st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
-        terrain, cache_comps=True,
+        terrain, widx, cache_comps=True,
     )
 
 
 
 def _emit_contacts_stream(
-    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one, terrain=None
+    st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
+    terrain=None, widx=None,
 ):
     """Contact solve with a STREAMED (low-live-set) row representation.
 
@@ -1211,13 +1401,13 @@ def _emit_contacts_stream(
     """
     return _contacts_impl(
         st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
-        terrain, cache_comps=False,
+        terrain, widx, cache_comps=False,
     )
 
 
 def _contacts_impl(
     st, q, v, c_clamped, warm, xpos, xquat, S, ref, Mh, qfrc, z, one,
-    terrain, cache_comps,
+    terrain, widx, cache_comps,
 ):
     """Shared contact solver: candidate rows + tree-LDL + frozen-Hessian
     primal Newton with incremental iterates and bisection line search, on
@@ -1246,7 +1436,9 @@ def _contacts_impl(
 
     geom_cache = {}
     cons = [
-        _cand_geom(st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache)
+        _cand_geom(
+            st, cidx, xpos, xquat, ref, terrain, z, one, geom_cache, widx
+        )
         for cidx in range(st.ncand)
     ]
 
@@ -1268,7 +1460,9 @@ def _contacts_impl(
         )
 
     for c in cons:
-        R_ = (1.0 - c["imp"]) / c["imp"] * max(c["invweight"], 1e-12)
+        iw = c["invweight"]
+        iw = max(iw, 1e-12) if isinstance(iw, float) else jnp.maximum(iw, 1e-12)
+        R_ = (1.0 - c["imp"]) / c["imp"] * iw
         c["D"] = jnp.where(c["active"], 1.0 / jnp.maximum(R_, 1e-12), 0.0)
 
     # ---- adhesion split over active candidates (as in _emit_contacts) ----
@@ -1323,10 +1517,15 @@ def _contacts_impl(
 
         def pick_signed(vec3, idx, sgn):
             x = vec3[idx]
+            if not isinstance(sgn, (int, float)):  # lane-valued sign
+                return x * sgn
             return x if sgn == 1.0 else (-x if sgn == -1.0 else x * sgn)
 
         for d in c["path"]:
             sgn = c["signs"][d]
+            if callable(sgn):  # lazy lane mask (compressed pair rows)
+                sgn = sgn()
+            sgn_static = isinstance(sgn, (int, float))
             fa = st.free_dof_axis.get(d)
             if fa is not None and fa < 3:
                 # Free-joint translation: jp = sgn·e_fa, S_w = 0.
@@ -1350,7 +1549,7 @@ def _contacts_impl(
                 ec = [0.0, 0.0, 0.0]
                 ec[j] = 1.0
                 jp = _add3(v_, _cross_cl(ec, rel, z))
-                if sgn != 1.0:
+                if not sgn_static or sgn != 1.0:
                     jp = _scale3(jp, sgn)
                 if frame is None:
                     sj = float(sgn)
@@ -1370,7 +1569,7 @@ def _contacts_impl(
                 continue
             w_, v_ = S[d]
             jp = _add3(v_, _cross(w_, rel))
-            if sgn != 1.0:
+            if not sgn_static or sgn != 1.0:
                 jp = _scale3(jp, sgn)
                 if st.condim > 3:
                     w_ = _scale3(w_, sgn)
@@ -1410,8 +1609,11 @@ def _contacts_impl(
 
     def get_comps(c):
         """Direction components for candidate c — cached (fused) or
-        recomputed at each use (streamed)."""
-        if not cache_comps:
+        recomputed at each use (streamed). Compressed pair rows
+        (``no_comp_cache``) always stream: their |path| spans the whole
+        DoF union of two flies, and caching ndirs x |path| lane values per
+        row would alone blow the Mosaic value stack."""
+        if not cache_comps or c.get("no_comp_cache"):
             return dof_components(c)
         cached = c.get("comps")
         if cached is None:
@@ -1832,12 +2034,16 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     st = _Static(model)
     nq, nv, nu, na = st.nq, st.nv, st.nu, st.na
     nb, ns, nsite = st.nbody, st.nsensor, st.nsite
-    ncand = st.ncand
+    ncand = st.ncand  # compressed row count for pair_compress models
     n_terrain = 4 * ncand if st.has_hfield else 0
+    # Compressed pair groups: one winner-index input row per group,
+    # sampled out-of-kernel (K-chunk-stale, like the terrain planes).
+    n_groups = len(st.pair_comp_groups)
+    n_aux = n_terrain + n_groups
     K = int(k_steps)
     assert K >= 1
 
-    n_in = nq + nv + K * nu + na + nv + n_terrain
+    n_in = nq + nv + K * nu + na + nv + n_aux
     # K > 1 prepends (K-1)*nq per-step qpos-trajectory rows (steps 0..K-2;
     # the final step's qpos is part of the regular state output).
     n_traj = (K - 1) * nq
@@ -1855,12 +2061,15 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
         act = [read(nq + nv + K * nu + i) for i in range(na)]
         warm = [read(nq + nv + K * nu + na + i) for i in range(nv)]
         terrain = None
+        widx = None
+        t0 = nq + nv + K * nu + na + nv
         if n_terrain:
-            t0 = nq + nv + K * nu + na + nv
             terrain = [
                 tuple(read(t0 + 4 * c + k) for k in range(4))
                 for c in range(ncand)
             ]
+        if n_groups:
+            widx = [read(t0 + n_terrain + g) for g in range(n_groups)]
 
         if K > 1:
             # K-1 in-kernel steps: the loop body compiles ONCE (fori_loop,
@@ -1877,7 +2086,8 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
                         val = jnp.where(k == j, ctrl_rows[j * nu + i], val)
                     ctrl_k.append(val)
                 r_ = emit_step(
-                    st, list(q_), list(v_), ctrl_k, list(a_), list(w_), terrain
+                    st, list(q_), list(v_), ctrl_k, list(a_), list(w_),
+                    terrain, widx,
                 )
                 for i in range(nq):
                     out_ref[k * nq + i, 0] = r_["qpos"][i]
@@ -1898,7 +2108,7 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
             ctrl = [ctrl_rows[(K - 1) * nu + i] for i in range(nu)]
         else:
             ctrl = ctrl_rows
-        r = emit_step(st, q, v, ctrl, act, warm, terrain)
+        r = emit_step(st, q, v, ctrl, act, warm, terrain, widx)
         o = n_traj
 
         def wr(vals):
@@ -1929,15 +2139,37 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     # Exposed separately (sample_planes) so rollouts can amortize it over
     # several steps: candidates move ~1e-3 mm/step vs ~0.25 mm terrain
     # cells, so a K-step-stale sample is far below contact resolution.
-    if n_terrain:
-        from flygym_tpu.engine.terrain import make_plane_sampler
+    if n_aux:
+        _tsampler = None
+        if n_terrain:
+            from flygym_tpu.engine.terrain import make_plane_sampler
 
-        _sampler = make_plane_sampler(model)
+            _tsampler = make_plane_sampler(model)
+        _wsampler = None
+        if n_groups:
+            from flygym_tpu.engine.contact import make_pair_winner_sampler
+
+            _wsampler = make_pair_winner_sampler(model)
+        _keep = st.pair_keep
 
         def sample_planes(state):
-            """(B,)-batched state -> (B, n_terrain) ground-plane rows."""
+            """(B,)-batched state -> (B, n_aux) aux rows: per-candidate
+            ground planes (compressed-row space) then per-group winner
+            indices. Opaque to callers — rollouts amortize it as a unit."""
             B = state.qpos.shape[0]
-            return _sampler(state.xpos, state.xquat).reshape(B, n_terrain)
+            parts_ = []
+            if _tsampler is not None:
+                pl = _tsampler(state.xpos, state.xquat)  # (B, model.ncand, 4)
+                if _keep is not None:
+                    pl = pl[:, _keep]
+                parts_.append(pl.reshape(B, n_terrain))
+            if _wsampler is not None:
+                parts_.append(_wsampler(state.xpos, state.xquat))
+            return (
+                parts_[0]
+                if len(parts_) == 1
+                else jnp.concatenate(parts_, axis=1)
+            )
 
     else:
         sample_planes = None
@@ -1986,13 +2218,13 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
             state.act.T.astype(dtype),
             state.qacc.T.astype(dtype),
         ]
-        if n_terrain:
+        if n_aux:
             pl_b = (
                 terrain_planes
                 if terrain_planes is not None
                 else sample_planes(state)
             )
-            parts.append(pl_b.reshape(B, n_terrain).T.astype(dtype))
+            parts.append(pl_b.reshape(B, n_aux).T.astype(dtype))
         packed = jnp.concatenate(parts, axis=0)
         packed, B0 = _pad_lanes(packed, block)
         bp = packed.shape[1]

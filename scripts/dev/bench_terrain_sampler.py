@@ -57,9 +57,9 @@ def main():
     xquat_d = jax.device_put(jnp.asarray(xquat))
 
     ref = None
-    for method in ("onehot", "take", "window"):
+    for method in ("onehot", "onehot_bf16", "window", "window_gather"):
         sampler = make_plane_sampler(model, method)
-        if method == "window":
+        if method.startswith("window"):
             print(f"  window sizes: {[w for _, w in sampler.groups]}", flush=True)
         fn = jax.jit(sampler)
         out = fn(xpos_d, xquat_d)

@@ -243,7 +243,7 @@ class TestPallasCallPlumbing:
         st_real = ms._Static(model)
         nbody, nsite, nsensor = st_real.nbody, st_real.nsite, st_real.nsensor
 
-        def mock_emit(st, q, v, ctrl, act, warm, terrain=None):
+        def mock_emit(st, q, v, ctrl, act, warm, terrain=None, widx=None):
             z = jnp.zeros_like(q[0])
             return dict(
                 qpos=[2.0 * x + 1.0 for x in q],

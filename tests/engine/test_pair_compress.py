@@ -115,14 +115,66 @@ class TestSemantics:
 
 
 def test_kernel_gate_matches_engine_semantics():
-    """Until the kernel emits compressed rows, compressed models must NOT
-    claim kernel support (the kernel would solve all 3,025 pairs and
-    diverge from the engine); uncompressed oversized models keep falling
-    back on VMEM grounds as before."""
+    """Compressed models ARE kernel-eligible (the kernel emits one row per
+    geom1 group, blending the runtime winner with eq-masks); the full
+    3,025-row pair set keeps falling back on VMEM grounds as before."""
     from flygym_tpu.ops.megastep import megastep_supported
 
     mc, _ = _two_fly_world(dz=2.0).compile()
     mf, _ = _two_fly_world(dz=2.0, compress=False).compile()
     assert not megastep_supported(mf)
-    if not mc.pair_compress:  # pragma: no cover - guard
-        pytest.skip("auto gate off")
+    assert mc.pair_compress
+    assert megastep_supported(mc), "compressed two-fly preset must fit"
+
+
+class TestKernelCompressedRows:
+    """The mega-step emitter's compressed pair rows (one row per geom1
+    group, geom2 blended from the out-of-kernel winner index) vs the jnp
+    engine, which re-selects winners in-step. From a settled stacking
+    state both selections agree (capsules move ~1e-3 mm/step), so the
+    constrained step must match to fp-reassociation noise."""
+
+    @pytest.fixture(scope="class")
+    def settled_stack(self):
+        model, state0 = _two_fly_world(dz=1.8).compile()
+        assert model.pair_compress
+        B = 2
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
+        )
+        f = jax.jit(jax.vmap(lambda s: step(model, s)))
+        for _ in range(250):
+            bstate = f(bstate)
+        return model, bstate
+
+    def test_emitter_matches_engine(self, settled_stack):
+        from flygym_tpu.engine.contact import make_pair_winner_sampler
+        from flygym_tpu.ops import megastep as ms
+
+        model, bstate = settled_stack
+        st = ms._Static(model)
+        assert st.ncand == model.ncand - model.ncand_pair + len(
+            model.pair_groups
+        )
+        widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
+        widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
+        cols = lambda x: [x[:, i] for i in range(x.shape[1])]
+        r = ms.emit_step(
+            st,
+            cols(bstate.qpos),
+            cols(bstate.qvel),
+            cols(bstate.ctrl),
+            cols(bstate.act),
+            cols(bstate.qacc),
+            None,
+            widx,
+        )
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        got_qpos = np.asarray(jnp.stack(r["qpos"], axis=1))
+        got_qvel = np.asarray(jnp.stack(r["qvel"], axis=1))
+        np.testing.assert_allclose(got_qpos, np.asarray(ref.qpos), atol=3e-4)
+        np.testing.assert_allclose(got_qvel, np.asarray(ref.qvel), atol=3e-2)
+        # The upper fly is supported by compressed fly-fly rows: its root z
+        # stays well above the ground-rest height.
+        hi_qadr = model.free_joints[1][1]
+        assert float(got_qpos[0, hi_qadr + 2]) > 1.0

@@ -48,9 +48,17 @@ def model_and_states():
 def test_methods_agree(model_and_states):
     model, xpos, xquat = model_and_states
     ref = np.asarray(make_plane_sampler(model, "onehot")(xpos, xquat))
-    for method in ("take", "window"):
+    # take/window/window_gather select exact grid values; onehot_bf16
+    # rounds the height grid to bf16 (<= 2^-9 relative) which also leaks
+    # into the cell-gradient normals.
+    for method, atol in (
+        ("take", 2e-4),
+        ("window", 2e-4),
+        ("window_gather", 2e-4),
+        ("onehot_bf16", 2e-2),
+    ):
         out = np.asarray(make_plane_sampler(model, method)(xpos, xquat))
-        np.testing.assert_allclose(out, ref, rtol=0, atol=2e-4, err_msg=method)
+        np.testing.assert_allclose(out, ref, rtol=0, atol=atol, err_msg=method)
 
 
 def test_auto_picks_window_on_blocks(model_and_states):
