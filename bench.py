@@ -27,6 +27,16 @@ TIMESTEP = 1e-4
 def main():
     import jax
 
+    try:
+        # Persistent compilation cache: TPU compiles over the axon tunnel
+        # run minutes per (program, shape); cache them across processes.
+        jax.config.update(
+            "jax_compilation_cache_dir", str(Path.home() / ".cache/jax_comp")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from flygym_tpu.compose import ActuatorType
     from flygym_tpu.demo.benchmark import ReplayTargetData, make_model, run_simulation
 

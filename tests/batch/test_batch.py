@@ -161,7 +161,7 @@ class TestSharding:
         if len(devices) < 8:
             pytest.skip("needs 8 virtual devices")
 
-        def mock_emit(st, q, v, ctrl, act, warm, terrain=None):
+        def mock_emit(st, q, v, ctrl, act, warm, terrain=None, widx=None):
             z = jnp.zeros_like(q[0])
             return dict(
                 qpos=[x + 1.0 for x in q],
@@ -232,7 +232,7 @@ class TestShardedTerrainPlanes:
         model, state0 = w.compile()
         assert model.has_hfield
 
-        def mock_emit(st, q, v, ctrl, act, warm, terrain=None):
+        def mock_emit(st, q, v, ctrl, act, warm, terrain=None, widx=None):
             # Terrain rows must arrive; fold the first plane height into
             # qpos so threading is observable.
             assert terrain is not None and len(terrain) == st.ncand

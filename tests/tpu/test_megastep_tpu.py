@@ -271,3 +271,56 @@ class TestStrictModeOnTPU:
         np.testing.assert_allclose(
             np.asarray(got.qvel), np.asarray(ref.qvel), atol=5e-2
         )
+
+
+class TestCompressedPairsOnTPU:
+    """Pair-compressed two-fly preset through the REAL Mosaic kernel: the
+    winner-blended compressed rows must compile within the model's VMEM
+    limit and reproduce the jnp engine step (which re-selects winners
+    in-step) from a quiescent stacking state. NOTE: cold compile of this
+    kernel is ~15 min (275 rows, two-fly DoF union paths); the persistent
+    compilation cache (conftest) makes reruns cheap."""
+
+    def test_compressed_kernel_matches_jnp(self):
+        from flygym_tpu.engine.step import rollout_batched
+        from flygym_tpu.ops.megastep import megastep_supported
+
+        def mkfly(name):
+            fly = Fly(name=name)
+            fly.add_joints(
+                Skeleton(
+                    axis_order=AxisOrder.YPR,
+                    joint_preset=JointPreset.LEGS_ONLY,
+                ),
+                neutral_pose=KinematicPosePreset.NEUTRAL,
+            )
+            return fly
+
+        world = FlatGroundWorld()
+        world.add_fly(mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+        world.add_fly(mkfly("b"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+        assert world.add_fly_fly_contacts("a", "b") == 3025
+        model, state0 = world.compile()
+        assert model.pair_compress and megastep_supported(model)
+
+        Bp = 128
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (Bp,) + x.shape), state0
+        )
+        # Settle the stack to quiescence on the jnp path (fly b rests on a).
+        nan_ctrl = jnp.full((1500, Bp, max(model.nu, 1)), jnp.nan, jnp.float32)
+        nan_ctrl = nan_ctrl[:, :, : model.nu]
+        bstate, _ = rollout_batched(model, bstate, nan_ctrl, 1500)
+        mega = make_megastep(model)
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        got = mega(bstate)
+        got_q = np.asarray(got.qpos)
+        np.testing.assert_allclose(got_q, np.asarray(ref.qpos), atol=3e-4)
+        # Mosaic-vs-XLA reassociation amplifies on contact transients;
+        # qvel agreement is velocity-scale, not displacement-scale.
+        np.testing.assert_allclose(
+            np.asarray(got.qvel), np.asarray(ref.qvel), atol=0.5
+        )
+        # Fly b is SUPPORTED by compressed fly-fly rows, not fallen through.
+        zb = float(got_q[0, model.free_joints[1][1] + 2])
+        assert zb > 1.0, zb
