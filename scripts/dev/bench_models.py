@@ -37,7 +37,7 @@ def make_preset_world(preset):
     return world
 
 
-def make_two_fly_world():
+def make_two_fly_world(full_pairs=False):
     from flygym_tpu.anatomy import (
         AxisOrder, ContactBodiesPreset, JointPreset, Skeleton,
     )
@@ -56,12 +56,17 @@ def make_two_fly_world():
     world = FlatGroundWorld()
     world.add_fly(mkfly("bottom"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
     world.add_fly(mkfly("top"), (0, 0, 3.2), Rotation3D("quat", (1, 0, 0, 0)))
-    segs = [
-        s
-        for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
-        if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
-    ]
-    world.add_fly_fly_contacts("bottom", "top", bodysegs=segs)
+    if full_pairs:
+        # Default contact-body preset on both flies: 55x55 = 3,025 pair
+        # rows, runs pair-compressed in-kernel (one row per geom1 group).
+        world.add_fly_fly_contacts("bottom", "top")
+    else:
+        segs = [
+            s
+            for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
+            if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
+        ]
+        world.add_fly_fly_contacts("bottom", "top", bodysegs=segs)
     return world
 
 
@@ -113,14 +118,16 @@ def main():
     n_worlds = int(args[0]) if len(args) > 0 else 4096
     n_steps = int(args[1]) if len(args) > 1 else 1000
     wanted = args[2:] or [
-        "LEGS_ONLY", "ALL_BIOLOGICAL", "ALL_POSSIBLE", "two_fly", "blocks",
-        "strict",
+        "LEGS_ONLY", "ALL_BIOLOGICAL", "ALL_POSSIBLE", "two_fly",
+        "two_fly_full", "blocks", "strict",
     ]
 
     print("devices:", jax.devices(), flush=True)
     for name in wanted:
         if name == "two_fly":
             world = make_two_fly_world()
+        elif name == "two_fly_full":
+            world = make_two_fly_world(full_pairs=True)
         elif name == "blocks":
             world = make_blocks_world()
         elif name == "strict":

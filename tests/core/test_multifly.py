@@ -132,10 +132,14 @@ class TestFlyFlyCollision:
         ng = model.ncand - model.ncand_pair
         assert (g2[:ng] == -1).all()
         assert (g2[ng:] >= 0).all()
-        # Fly-fly pairs disable the ground-only mega-kernel.
+        # The legs_thorax_abdomen_head pair set (3,025 rows) triggers
+        # nearest-neighbor pair compression, which keeps the model on the
+        # mega-kernel (one kernel row per geom1 group).
         from flygym_tpu.ops.megastep import megastep_supported
 
-        assert not megastep_supported(model)
+        assert model.pair_compress
+        assert len(model.pair_groups) < model.ncand_pair
+        assert megastep_supported(model)
 
     def test_flies_collide_vs_pass_through(self):
         """With pair rows the upper fly rests ON the lower one; without, it
