@@ -785,22 +785,56 @@ class ModelSpec:
             )
         nrows_per_con = {1: 1, 3: 4, 4: 6, 6: 10}[condim]
 
-        # Pair-row groups: contiguous runs sharing geom1 (the nested loops
-        # in add_fly_fly_contacts emit them geom1-major). Used by the
+        # Pair-row groups: contiguous runs sharing geom1 AND contact params
+        # (the nested loops in add_fly_fly_contacts emit them geom1-major;
+        # splitting on param boundaries keeps two add_fly_fly_contacts
+        # calls with different friction in separate groups — the kernel's
+        # winner-blend assumes one param set per group). Used by the
         # nearest-neighbor pair compression (engine/contact.py and the
         # mega-kernel): each group contributes only its closest geom2.
         pair_groups = []
         if ncand_pair:
-            run_start, run_geom = 0, pair_rows[0][0]
+            def _gkey(row):
+                g1, _b1, _g2, _b2, fric, solref, solimp, margin = row
+                return (g1, fric, tuple(solref), tuple(solimp), margin)
+
+            run_start, run_key = 0, _gkey(pair_rows[0])
             for i in range(1, ncand_pair):
-                if pair_rows[i][0] != run_geom:
+                key = _gkey(pair_rows[i])
+                if key != run_key:
                     pair_groups.append((run_start, i - run_start))
-                    run_start, run_geom = i, pair_rows[i][0]
+                    run_start, run_key = i, key
             pair_groups.append((run_start, ncand_pair - run_start))
         pc_opt = self.options.get("pair_compress")
         pair_compress = (ncand_pair >= 512) if pc_opt is None else bool(pc_opt)
         if pair_compress and len(pair_groups) >= ncand_pair:
             pair_compress = False  # one row per group: nothing to compress
+        if pair_compress:
+            # Compression blends each group's winner with STATIC per-DoF
+            # Jacobian signs, which assumes geom1 and every geom2 live in
+            # DISJOINT kinematic trees (fly-fly contacts). Self-contact
+            # pairs (same root subtree) would blend wrong signs — fall
+            # back to uncompressed pair rows instead of asserting deep in
+            # the kernel builder (ADVICE r3: megastep.py _Static).
+            def _root(b):
+                b = int(b)
+                while b != 0 and int(body_parent[b]) != 0:
+                    b = int(body_parent[b])
+                return b
+
+            same_tree = any(
+                _root(row[1]) == _root(row[3]) for row in pair_rows
+            )
+            if same_tree:
+                import warnings
+
+                warnings.warn(
+                    "pair_compress disabled: a contact pair's geoms share "
+                    "a kinematic tree (self-contact); nearest-neighbor "
+                    "compression assumes disjoint trees (fly-fly). All "
+                    f"{ncand_pair} pair rows run uncompressed."
+                )
+                pair_compress = False
 
         ncon_max = self.options["ncon_max"]
         if ncon_max is None:

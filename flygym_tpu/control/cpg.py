@@ -32,8 +32,7 @@ __all__ = [
 ]
 
 # Canonical leg order (anatomy.LEGS): lf, lm, lh, rf, rm, rh.
-_TRIPOD_GROUP = np.array([0, 1, 0, 1, 0, 1])  # lf, lh, rm vs lm, rf, rh
-# index:                   lf  lm  lh  rf  rm  rh
+# Group 0 = {lf, lh, rm}, group 1 = {lm, rf, rh}.
 _TRIPOD_GROUP = np.array([0, 1, 0, 1, 0, 1])
 
 

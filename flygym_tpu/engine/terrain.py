@@ -17,9 +17,10 @@ Three interchangeable methods (``FLYGYM_TPU_TERRAIN_SAMPLER``):
   but lowers to a generic gather on (B·ncand) indices, which TPUs execute
   poorly (measured ~ms per call at 4096 worlds — why onehot existed).
 - ``window``: two-stage. Per fly (candidates grouped by kinematic root), a
-  (W, W) grid window around the candidates is sliced per world — W is a
-  STATIC bound on the fly's candidate spread from the kinematic chain, so
-  the window provably covers every candidate — then the one-hot matmuls
+  (Wy, Wx) grid window around the candidates is sliced per world — W is a
+  STATIC bound on the fly's candidate spread from the kinematic chain
+  (clamped per grid axis), so the window provably covers every candidate —
+  then the one-hot matmuls
   run against the window only: O(B·ncand·W²) with W ≈ 100 vs nrow ≈ 320,
   a ~10-20x FLOP cut with bit-near-identical results (exercised against
   ``onehot`` in tests/engine/test_terrain_sampler.py).
@@ -44,8 +45,9 @@ _F32 = jnp.float32
 def candidate_group_windows(model):
     """Group candidates by kinematic root and bound each group's xy spread.
 
-    Returns a list of ``(cand_idx (n_g,) np.int32, W int)`` with W the
-    static window size in grid cells covering the group's candidate
+    Returns a list of ``(cand_idx (n_g,) np.int32, (Wy, Wx))`` with Wy/Wx
+    the static window size in grid cells (per grid axis, clamped to the
+    grid dims independently) covering the group's candidate
     endpoints at ANY joint configuration: twice the chain-length reach
     bound from the group's root body (rotations change direction, never
     magnitude, so sum of link offset norms + geom offset + capsule
@@ -88,8 +90,12 @@ def candidate_group_windows(model):
         spread_cells = 2.0 * reach / float(cell.min())
         w = int(np.ceil(spread_cells)) + 4
         w = int(-(-w // 8) * 8)  # round up to a sublane multiple
-        w = min(w, int(min(nr, nc)))
-        out.append((np.asarray(cands, np.int32), w))
+        # Clamp each axis independently: on non-square grids the reach
+        # bound may exceed one dim but not the other, and a square clamp
+        # to min(nr, nc) would silently shrink the coverage along the
+        # long axis (candidates clamped to the window edge -> wrong
+        # heights). (wy, wx) index (row, col) = (y, x) grid axes.
+        out.append((np.asarray(cands, np.int32), (min(w, nr), min(w, nc))))
     return out
 
 
@@ -118,7 +124,9 @@ def make_plane_sampler(model, method: str | None = None):
     if method == "auto":
         # The window pays for itself when it cuts the contraction dim by
         # ~2x or more (slice + einsum overheads are real but small).
-        worthwhile = all(w * 2 <= min(nr, nc) for _, w in groups)
+        worthwhile = all(
+            wy * 2 <= nr and wx * 2 <= nc for _, (wy, wx) in groups
+        )
         method = "window" if worthwhile else "onehot"
 
     def endpoints_xy(xpos, xquat):
@@ -202,20 +210,20 @@ def make_plane_sampler(model, method: str | None = None):
             ncand = fx_all.shape[1]
             parts = []
             order = []
-            for cand_idx, W in groups:
+            for cand_idx, (Wy, Wx) in groups:
                 order.append(cand_idx)
                 fx = fx_all[:, cand_idx]  # (B, n_g)
                 fy = fy_all[:, cand_idx]
                 sx = jnp.clip(
-                    jnp.floor(fx.min(axis=1)) - 1.0, 0.0, float(nc - W)
+                    jnp.floor(fx.min(axis=1)) - 1.0, 0.0, float(nc - Wx)
                 )
                 sy = jnp.clip(
-                    jnp.floor(fy.min(axis=1)) - 1.0, 0.0, float(nr - W)
+                    jnp.floor(fy.min(axis=1)) - 1.0, 0.0, float(nr - Wy)
                 )
                 if gather_fetch:
                     win = jax.vmap(
                         lambda y, x: jax.lax.dynamic_slice(
-                            data, (y, x), (W, W)
+                            data, (y, x), (Wy, Wx)
                         )
                     )(sy.astype(jnp.int32), sx.astype(jnp.int32))
                 else:
@@ -223,15 +231,16 @@ def make_plane_sampler(model, method: str | None = None):
                     # shifted-diagonal selectors ride the MXU instead of a
                     # per-world gather (vmapped dynamic_slice measured 2x
                     # SLOWER than even the full-grid one-hot).
-                    war = jnp.arange(W, dtype=_F32)
                     rows_oh = (
-                        sy[:, None, None] + war[None, :, None]
+                        sy[:, None, None]
+                        + jnp.arange(Wy, dtype=_F32)[None, :, None]
                         == jnp.arange(nr, dtype=_F32)[None, None, :]
-                    ).astype(_F32)  # (B, W, nr)
+                    ).astype(_F32)  # (B, Wy, nr)
                     cols_oh = (
                         jnp.arange(nc, dtype=_F32)[None, :, None]
-                        == sx[:, None, None] + war[None, None, :]
-                    ).astype(_F32)  # (B, nc, W)
+                        == sx[:, None, None]
+                        + jnp.arange(Wx, dtype=_F32)[None, None, :]
+                    ).astype(_F32)  # (B, nc, Wx)
                     rowwin = jnp.einsum(
                         "bwr,rc->bwc", rows_oh, data,
                         preferred_element_type=_F32,
@@ -239,18 +248,23 @@ def make_plane_sampler(model, method: str | None = None):
                     win = jnp.einsum(
                         "bwc,bcv->bwv", rowwin, cols_oh,
                         preferred_element_type=_F32,
-                    )  # (B, W, W), exact (one-hot selection)
-                lx = jnp.clip(fx - sx[:, None], 0.0, W - 1.001)
-                ly = jnp.clip(fy - sy[:, None], 0.0, W - 1.001)
+                    )  # (B, Wy, Wx), exact (one-hot selection)
+                lx = jnp.clip(fx - sx[:, None], 0.0, Wx - 1.001)
+                ly = jnp.clip(fy - sy[:, None], 0.0, Wy - 1.001)
                 ix = jnp.floor(lx)
                 iy = jnp.floor(ly)
                 tx = lx - ix
                 ty = ly - iy
-                ar = jnp.arange(W, dtype=_F32)
-                Y0 = (iy[..., None] == ar).astype(_F32)  # (B, n_g, W)
-                Y1 = (iy[..., None] + 1.0 == ar).astype(_F32)
-                X0 = (ix[..., None] == ar).astype(_F32)
-                X1 = (ix[..., None] + 1.0 == ar).astype(_F32)
+                Y0 = (iy[..., None] == jnp.arange(Wy, dtype=_F32)).astype(
+                    _F32
+                )  # (B, n_g, Wy)
+                Y1 = (iy[..., None] + 1.0 == jnp.arange(Wy, dtype=_F32)).astype(
+                    _F32
+                )
+                X0 = (ix[..., None] == jnp.arange(Wx, dtype=_F32)).astype(_F32)
+                X1 = (ix[..., None] + 1.0 == jnp.arange(Wx, dtype=_F32)).astype(
+                    _F32
+                )
                 R0 = jnp.einsum(
                     "bcw,bwv->bcv", Y0, win, preferred_element_type=_F32
                 )

@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flygym_tpu.utils.exceptions import FlyGymInternalError
+
 __all__ = [
     "emit_step",
     "make_megastep",
@@ -506,15 +508,20 @@ class _Static:
                 rows = [ng + start + j for j in range(size)]
                 r0 = rows[0]
                 for r in rows[1:]:
-                    assert int(self.can_geom[r]) == int(self.can_geom[r0]), (
-                        "pair group mixes geom1"
-                    )
-                    assert (
+                    # spec.compile() splits groups on geom1/param
+                    # boundaries; real raises (not asserts) so the
+                    # invariant survives ``python -O``.
+                    if int(self.can_geom[r]) != int(self.can_geom[r0]):
+                        raise FlyGymInternalError("pair group mixes geom1")
+                    if not (
                         np.array_equal(self.can_friction[r], self.can_friction[r0])
                         and np.array_equal(self.can_solref[r], self.can_solref[r0])
                         and np.array_equal(self.can_solimp[r], self.can_solimp[r0])
                         and self.can_margin[r] == self.can_margin[r0]
-                    ), "pair group mixes contact params"
+                    ):
+                        raise FlyGymInternalError(
+                            "pair group mixes contact params"
+                        )
                 members = [
                     (int(self.can_geom2[r]), int(self.can_body2[r]))
                     for r in rows
@@ -537,11 +544,15 @@ class _Static:
                 g1_path = set(self.body_path_dofs[int(self.can_body[r0])])
                 dof_sign_spec = {}
                 for d, js in sorted(dof_members.items()):
-                    assert d not in g1_path, (
-                        "pair group geom2 shares DoFs with geom1 (same "
-                        "kinematic tree) — compression assumes disjoint "
-                        "trees (fly-fly contacts)"
-                    )
+                    if d in g1_path:
+                        # spec.compile() clears pair_compress for
+                        # same-tree pairs; raise (not assert) if one
+                        # slips through.
+                        raise FlyGymInternalError(
+                            "pair group geom2 shares DoFs with geom1 (same "
+                            "kinematic tree) — compression assumes disjoint "
+                            "trees (fly-fly contacts)"
+                        )
                     if len(js) == size:
                         dof_sign_spec[d] = "all"
                         continue

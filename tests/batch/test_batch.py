@@ -272,3 +272,68 @@ class TestShardedTerrainPlanes:
         np.testing.assert_allclose(
             np.asarray(out_given.qpos), expected, atol=1e-6
         )
+
+
+@pytest.mark.slow
+class TestShardedKernelRealEmitter:
+    """The REAL emit_step physics through the Pallas kernel under
+    shard_map (VERDICT r3 #1): on a small real model (capsule drop,
+    nv=6) the real emitter graph is interpretable, so the sharded and
+    unsharded kernel episodes can be compared with no emitter
+    substitution. Mirrors __graft_entry__.dryrun_multichip section 2."""
+
+    def test_sharded_equals_unsharded_real_physics(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from flygym_tpu.engine.model import make_initial_state
+        from flygym_tpu.ops import megastep as ms
+        from flygym_tpu.parallel import make_world_mesh
+        from tests.engine.test_stress_golden import _capsule_spec
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        model = _capsule_spec(drop_z=0.9).compile().model
+        assert ms.megastep_supported(model)
+        state0 = make_initial_state(model)
+        B = 16
+        bstate = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)),
+            state0,
+        )
+        # Straddle the contact (rest height 0.801): some worlds already in
+        # contact, some in flight — shard/lane offset bugs cannot hide.
+        bstate = dataclasses.replace(
+            bstate, qpos=bstate.qpos.at[:, 2].set(jnp.linspace(0.78, 1.2, B))
+        )
+
+        mesh = make_world_mesh(devices[:8])
+        kern_sharded = ms.make_megastep_sharded(
+            model, mesh, "world", bstate, interpret=True
+        )
+        kern_ref = ms.make_megastep(model, interpret=True, jit=False)
+
+        def episode(fn):
+            def body(s, _):
+                return fn(s), None
+
+            return jax.jit(
+                lambda s0: jax.lax.scan(body, s0, None, length=16)[0]
+            )
+
+        s_a = episode(kern_sharded)(bstate)
+        s_b = episode(kern_ref)(bstate)
+        np.testing.assert_array_equal(
+            np.asarray(s_a.qpos), np.asarray(s_b.qpos)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_a.qvel), np.asarray(s_b.qvel)
+        )
+        assert getattr(s_a.qpos.sharding, "mesh", None) is not None
+        # Real physics ran: contact worlds stay near rest, flight worlds
+        # fell.
+        z = np.asarray(s_a.qpos[:, 2])
+        assert z[0] > 0.75 and z[-1] < 1.2

@@ -206,14 +206,59 @@ class TestFlyHighDrop:
         assert errs[-1] < 0.02, errs[-1]  # same rest height
 
 
-class TestSolverExactGating:
-    def test_exact_mode_disables_megastep(self):
+class TestSolverExactKernel:
+    """The strict exact-Newton solver runs IN-kernel (ops/megastep.py
+    emits the per-iteration refactor when ``model.solver_exact``): both
+    solver modes must be kernel-eligible, and the strict mode must track
+    MuJoCo when stepped THROUGH the kernel emitter — the exact per-world
+    computation the Pallas mega-kernel lowers (same check as
+    tests/engine/test_megastep.py's emitter==engine suite, but pinned
+    against real MuJoCo rather than the repo's own engine)."""
+
+    def test_exact_mode_kernel_eligible(self):
         from flygym_tpu.ops.megastep import megastep_supported
 
-        model, _ = (
-            _capsule_spec(exact=True).compile().model,
-            None,
-        )
-        assert not megastep_supported(model)
-        model2 = _capsule_spec(exact=False).compile().model
-        assert megastep_supported(model2)
+        assert megastep_supported(_capsule_spec(exact=True).compile().model)
+        assert megastep_supported(_capsule_spec(exact=False).compile().model)
+
+    def test_exact_mode_emitter_golden_vs_mujoco(self):
+        """Capsule drop-and-settle in strict mode, stepped eagerly through
+        ``ms.emit_step`` side by side with MuJoCo at Newton/100.
+
+        Eager (op-by-op) execution of the emitter is the documented way to
+        validate kernel physics off-TPU — jitting the emitter graph on CPU
+        compiles for minutes. ~0.25 s/step eager; 400 steps ≈ 2 min."""
+        import flygym_tpu.ops.megastep as ms
+
+        spec = _capsule_spec(drop_z=0.9, exact=True, iterations=10)
+        model = spec.compile().model
+        state = make_initial_state(model)
+        st = ms._Static(model)
+
+        m = mujoco.MjModel.from_xml_string(spec.to_mjcf_xml())
+        d = mujoco.MjData(m)
+        mujoco.mj_resetDataKeyframe(m, d, 0)
+
+        import jax.numpy as jnp
+
+        qpos = jnp.asarray(state.qpos)
+        qvel = jnp.asarray(state.qvel)
+        ctrl = jnp.asarray(state.ctrl)
+        act = jnp.asarray(state.act)
+        qacc = jnp.asarray(state.qacc)
+        cols = lambda x: [x[i] for i in range(x.shape[0])]
+        errs = []
+        for _ in range(400):
+            r = ms.emit_step(
+                st, cols(qpos), cols(qvel), cols(ctrl), cols(act), cols(qacc)
+            )
+            qpos = jnp.stack(r["qpos"])
+            qvel = jnp.stack(r["qvel"])
+            qacc = jnp.stack(r["qacc"])
+            mujoco.mj_step(m, d)
+            errs.append(abs(float(qpos[2]) - d.qpos[2]))
+        # Strict-mode envelope through impact (~44 mm/s) and settle.
+        assert max(errs) < 5e-3, max(errs)
+        assert errs[-1] < 1e-3, errs[-1]
+        # Rest height: radius + halflength (z-aligned capsule) ~ 0.801.
+        assert abs(float(qpos[2]) - 0.801) < 5e-3

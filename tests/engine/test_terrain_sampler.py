@@ -66,8 +66,9 @@ def test_auto_picks_window_on_blocks(model_and_states):
     sampler = make_plane_sampler(model)
     assert sampler.method == "window"
     # Static spread bound comfortably under the 320-cell grid.
-    for cand_idx, W in sampler.groups:
-        assert W * 2 <= min(model.hfield_data.shape)
+    for cand_idx, (Wy, Wx) in sampler.groups:
+        assert Wy * 2 <= model.hfield_data.shape[0]
+        assert Wx * 2 <= model.hfield_data.shape[1]
         assert len(cand_idx) > 0
 
 
@@ -102,7 +103,7 @@ def test_group_windows_cover_candidate_spread(model_and_states):
     halflen = model.geom_size[model.can_geom, 1]
     ep = np.asarray(gpos + (model.can_end * halflen)[None, :, None] * zax)
     cell = float(np.asarray(model.hfield_cell).min())
-    for cand_idx, W in candidate_group_windows(model):
+    for cand_idx, (Wy, Wx) in candidate_group_windows(model):
         xy = ep[:, cand_idx, :2]
         spread = (xy.max(axis=1) - xy.min(axis=1)).max() / cell
-        assert spread + 3 < W
+        assert spread + 3 < min(Wy, Wx)
