@@ -1058,6 +1058,21 @@ class ModelSpec:
             f'gravity="{g[0]} {g[1]} {g[2]}" integrator="Euler" '
             'solver="Newton" iterations="100"/>\n'
         )
+        if self.hfield is not None:
+            _hd = onp.asarray(self.hfield["data"], onp.float64)
+            _nr, _nc = _hd.shape
+            _sx = (_nc - 1) * float(self.hfield["cell"][0]) / 2.0
+            _sy = (_nr - 1) * float(self.hfield["cell"][1]) / 2.0
+            _ztop = max(float(_hd.max()) - float(_hd.min()), 1e-6)
+            _elev = " ".join(
+                f"{x:.8g}"
+                for x in ((_hd - float(_hd.min())) / _ztop).ravel()
+            )
+            w(
+                f'  <asset><hfield name="terrain_hf" nrow="{_nr}" '
+                f'ncol="{_nc}" size="{_sx:.8g} {_sy:.8g} {_ztop:.8g} 1" '
+                f'elevation="{_elev}"/></asset>\n'
+            )
 
         # Joint name → spec lookup for attributes.
         joint_specs = {}
@@ -1087,12 +1102,35 @@ class ModelSpec:
         for si in range(m.nsite):
             sites_by_body.setdefault(int(site_body[si]), []).append(si)
 
+        # Heightfield terrain: the engine's ground candidates sample the
+        # height grid (engine/terrain.py), so the exported ground geom must
+        # BE the heightfield for MuJoCo's explicit pairs to collide with
+        # it. MuJoCo normalizes elevation data to [0, 1] and scales by
+        # size[2]; pos z = min height re-anchors the surface. Grid axes:
+        # data row = y, col = x in both engines.
+        hf = self.hfield
+        if hf is not None:
+            hdata = onp.asarray(hf["data"], onp.float64)
+            nr_h, nc_h = hdata.shape
+            cell_x, cell_y = float(hf["cell"][0]), float(hf["cell"][1])
+            sx = (nc_h - 1) * cell_x / 2.0
+            sy = (nr_h - 1) * cell_y / 2.0
+            zmin = float(hdata.min())
+            hf_center = (float(hf["xy0"][0]) + sx, float(hf["xy0"][1]) + sy)
+
         def write_geom(gi, indent):
             gname = id2geom[gi]
             gtype = m.geom_types[gi]
             size = geom_size[gi]
             rgba = " ".join(f"{x:.4g}" for x in geom_rgba[gi])
-            if gtype == "plane":
+            if gtype == "plane" and hf is not None and int(geom_body[gi]) == 0:
+                w(
+                    f'{indent}<geom name="{gname}" type="hfield" '
+                    f'hfield="terrain_hf" '
+                    f'pos="{hf_center[0]:.8g} {hf_center[1]:.8g} {zmin:.8g}" '
+                    f'contype="0" conaffinity="0" rgba="{rgba}"/>\n'
+                )
+            elif gtype == "plane":
                 w(
                     f'{indent}<geom name="{gname}" type="plane" '
                     f'size="{size[0]} {size[1]} 1" contype="0" '

@@ -84,6 +84,10 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
     ]  # 2 × (R8, 3)
     weights = pad(np.asarray(retina.channel_weights, np.float32))  # (R8, 2, 3)
 
+    # Analytic cone anti-aliasing (soft silhouettes): static gate + slope.
+    use_cone = float(getattr(retina, "cone_half_rad", 0.0)) > 0.0
+    tanh_cone = float(np.tan(getattr(retina, "cone_half_rad", 0.0)))
+
     eye_bodies = (retina.left_eye_body, retina.right_eye_body)
 
     # Kernel input rows: per (world):
@@ -122,7 +126,19 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
                 c_cyl = baba * oaoa - baoa * baoa - r * r * baba
                 c_s0 = oaoa - r * r
                 c_s1 = obob - r * r
-                hoist.append((p0, p1, r, ba, baba, oa, ob, baoa, c_cyl, c_s0, c_s1))
+                if use_cone:
+                    # Origin-outside gate for the coverage pass (rays
+                    # starting inside a geom see through it, like the
+                    # hard raycast's t > 0 entry-hit rule).
+                    s0g = jnp.clip(baoa / jnp.maximum(baba, 1e-12), 0.0, 1.0)
+                    d0sq = oaoa - 2.0 * s0g * baoa + s0g * s0g * baba
+                    outside = (d0sq > r * r).astype(jnp.float32)
+                else:
+                    outside = None
+                hoist.append(
+                    (p0, p1, r, ba, baba, oa, ob, baoa, c_cyl, c_s0, c_s1,
+                     outside)
+                )
 
             def tile_body(i, _):
                 # Local ray tile (8, LANE) per component, rotated to world.
@@ -159,8 +175,25 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
                 hitp = (tp > 0.0) & (jnp.abs(rdz) > 1e-12)
                 t_min = jnp.where(hitp, tp, t_min)
                 idx = jnp.where(hitp, -1.0, idx)
+                if use_cone:
+                    # Background (ground/sky) color independent of geoms,
+                    # and the coverage carries (matches vision._shade_cone).
+                    t_bg = jnp.where(hitp, tp, _BIG)
+                    hxb = opos[0][None, :] + tp * rdx
+                    hyb = opos[1][None, :] + tp * rdy
+                    chk_b = jnp.mod(jnp.floor(hxb) + jnp.floor(hyb), 2.0)
+                    bgc = jnp.where(chk_b > 0.5, 0.4, 0.3)
+                    bg_shade = jnp.where(hitp, 0.5 + 0.5 * jnp.abs(rdz), 1.0)
+                    bg_r = jnp.where(hitp, bgc, 0.65) * bg_shade
+                    bg_g = jnp.where(hitp, bgc, 0.75) * bg_shade
+                    bg_b = jnp.where(hitp, bgc, 0.9) * bg_shade
+                    cov = jnp.zeros((8, LANE), jnp.float32)
+                    cov_r = jnp.zeros((8, LANE), jnp.float32)
+                    cov_g = jnp.zeros((8, LANE), jnp.float32)
+                    cov_b = jnp.zeros((8, LANE), jnp.float32)
 
-                for gi, (p0, p1, r, ba, baba, oa, ob, baoa, c_cyl, c_s0, c_s1) in enumerate(hoist):
+                for gi, (p0, p1, r, ba, baba, oa, ob, baoa, c_cyl, c_s0, c_s1,
+                         outside) in enumerate(hoist):
                     bard = (
                         ba[0][None, :] * rdx
                         + ba[1][None, :] * rdy
@@ -213,6 +246,29 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
                     cr = jnp.where(better, float(col[0]), cr)
                     cg = jnp.where(better, float(col[1]), cg)
                     cb = jnp.where(better, float(col[2]), cb)
+                    if use_cone:
+                        # Ray-axis closest approach → angular coverage.
+                        # rdoa = d·(o - p0) is b_s0 computed above.
+                        denom_c = jnp.maximum(a_, 1e-12)
+                        s_c = jnp.clip(
+                            (baoa[None, :] - bard * b_s0) / denom_c, 0.0, 1.0
+                        )
+                        tc = jnp.maximum(bard * s_c - b_s0, 1e-6)
+                        dxc = oa[0][None, :] + tc * rdx - s_c * ba[0][None, :]
+                        dyc = oa[1][None, :] + tc * rdy - s_c * ba[1][None, :]
+                        dzc = oa[2][None, :] + tc * rdz - s_c * ba[2][None, :]
+                        dperp = jnp.sqrt(dxc * dxc + dyc * dyc + dzc * dzc)
+                        width = jnp.maximum(tc * tanh_cone, 1e-9)
+                        c_g2 = jnp.clip(
+                            0.5 - 0.5 * (dperp - r) / width, 0.0, 1.0
+                        )
+                        c_g2 = c_g2 * outside[None, :]
+                        c_g2 = jnp.where(tc < t_bg, c_g2, 0.0)
+                        bett = c_g2 > cov
+                        cov = jnp.where(bett, c_g2, cov)
+                        cov_r = jnp.where(bett, float(col[0]), cov_r)
+                        cov_g = jnp.where(bett, float(col[1]), cov_g)
+                        cov_b = jnp.where(bett, float(col[2]), cov_b)
 
                 # ---- winner reconstruction: normal from the carried
                 # winner segment (ONE pass instead of re-sweeping geoms) ----
@@ -234,19 +290,39 @@ def make_retina_kernel(model, retina, *, interpret: bool = False):
                 nx = jnp.where(is_geom, dx_ * inv_n, 0.0)
                 ny = jnp.where(is_geom, dy_ * inv_n, 0.0)
                 nz = jnp.where(is_geom, dz_ * inv_n, 1.0)
-                # Ground checker / sky (matches vision._shade).
-                is_ground = idx == -1.0
-                is_sky = idx == -2.0
-                checker = jnp.mod(jnp.floor(hx) + jnp.floor(hy), 2.0)
-                gcol = jnp.where(checker > 0.5, 0.4, 0.3)
-                cr = jnp.where(is_ground, gcol, jnp.where(is_sky, 0.65, cr))
-                cg = jnp.where(is_ground, gcol, jnp.where(is_sky, 0.75, cg))
-                cb = jnp.where(is_ground, gcol, jnp.where(is_sky, 0.9, cb))
-                lam = jnp.abs(-(nx * rdx + ny * rdy + nz * rdz))
-                shade = jnp.where(is_sky, 1.0, 0.5 + 0.5 * lam)
-                cr = jnp.clip(cr * shade, 0.0, 1.0)
-                cg = jnp.clip(cg * shade, 0.0, 1.0)
-                cb = jnp.clip(cb * shade, 0.0, 1.0)
+                if use_cone:
+                    # Coverage blend (matches vision._shade_cone): the
+                    # nearest-geom shaded color where the ray hits, the
+                    # silhouette shade (0.5 x color) for near-misses,
+                    # mixed with the plane/sky background by coverage.
+                    lam = jnp.abs(-(nx * rdx + ny * rdy + nz * rdz))
+                    gshade = 0.5 + 0.5 * lam
+                    g_r = jnp.where(is_geom, cr * gshade, 0.5 * cov_r)
+                    g_g = jnp.where(is_geom, cg * gshade, 0.5 * cov_g)
+                    g_b = jnp.where(is_geom, cb * gshade, 0.5 * cov_b)
+                    cr = jnp.clip(cov * g_r + (1.0 - cov) * bg_r, 0.0, 1.0)
+                    cg = jnp.clip(cov * g_g + (1.0 - cov) * bg_g, 0.0, 1.0)
+                    cb = jnp.clip(cov * g_b + (1.0 - cov) * bg_b, 0.0, 1.0)
+                else:
+                    # Ground checker / sky (matches vision._shade).
+                    is_ground = idx == -1.0
+                    is_sky = idx == -2.0
+                    checker = jnp.mod(jnp.floor(hx) + jnp.floor(hy), 2.0)
+                    gcol = jnp.where(checker > 0.5, 0.4, 0.3)
+                    cr = jnp.where(
+                        is_ground, gcol, jnp.where(is_sky, 0.65, cr)
+                    )
+                    cg = jnp.where(
+                        is_ground, gcol, jnp.where(is_sky, 0.75, cg)
+                    )
+                    cb = jnp.where(
+                        is_ground, gcol, jnp.where(is_sky, 0.9, cb)
+                    )
+                    lam = jnp.abs(-(nx * rdx + ny * rdy + nz * rdz))
+                    shade = jnp.where(is_sky, 1.0, 0.5 + 0.5 * lam)
+                    cr = jnp.clip(cr * shade, 0.0, 1.0)
+                    cg = jnp.clip(cg * shade, 0.0, 1.0)
+                    cb = jnp.clip(cb * shade, 0.0, 1.0)
 
                 # Channel weights: intensity_k = dot(rgb, w_k).
                 w0 = 2 * 3 * R8  # weights section offset in const_ref

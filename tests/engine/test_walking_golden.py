@@ -2,20 +2,23 @@
 
 Side-by-side kinematic replay of the Spotlight clip (position actuators +
 leg adhesion on flat ground — the reference's benchmark workload,
-``flygym_demo/benchmark/time_gpu_simulation.py:108-156``) stepped for 2,000
-steps (0.2 s) in the TPU engine and in MuJoCo compiled from the same
-exported MJCF. Pins, in BOTH the default and strict (exact-Newton) solver
-modes:
+``flygym_demo/benchmark/time_gpu_simulation.py:108-156``) stepped for 10,000
+steps (a FULL 1 s of walking) in the TPU engine and in MuJoCo compiled from
+the same exported MJCF. Pins, in BOTH the default and strict (exact-Newton)
+solver modes:
 
-  (a) COM-trajectory divergence (mm bound over the full 0.2 s),
+  (a) COM-trajectory divergence (mm bound over the full 1 s),
   (b) per-leg stance/swing classification agreement + duty-factor match,
   (c) joint-angle tracking error.
 
-Measured envelopes (CPU backend, this box; scripts/dev/measure_walking_golden.py):
-default — COM max 0.221 mm, joint err max 0.052 rad (mean 0.0054), stance
-agreement >= 0.767/leg, duty diff <= 0.09; strict — COM max 0.284 mm, joint
-err max 0.025 rad, agreement >= 0.804, duty diff <= 0.046. Bounds below
-carry ~2x headroom. Cross-check pattern follows the reference's
+Measured 1 s envelopes (CPU backend, this box, 2026-08-19;
+scripts/dev/measure_walking_golden.py --steps 10000):
+default — COM err max 1.44 mm (0.28 at T/4), joint err max 0.083 rad
+(mean 0.0068), stance agreement/leg >= 0.768 (mean 0.847), duty diff
+<= 0.093, distance 6.05 vs 7.32 mm; strict — COM max 1.09 mm (0.22 at
+T/4), joint max 0.027 rad (mean 0.0041), agreement/leg >= 0.796 (mean
+0.875), duty diff <= 0.056, distance 7.21 vs 7.32 mm. Bounds below carry
+~1.5x headroom. Cross-check pattern follows the reference's
 batched-vs-single strategy (flygym ``tests/warp/test_simulation.py:239-251``).
 """
 
@@ -35,7 +38,7 @@ from flygym_tpu.compose import ActuatorType
 from flygym_tpu.demo import ReplayTargetData, make_model
 from flygym_tpu.engine.step import step as engine_step
 
-N_STEPS = 2000
+N_STEPS = 10000
 SETTLE_STEPS = 300
 FN_THRESH = 0.5  # normal-force threshold (model force units) for stance
 
@@ -160,15 +163,15 @@ class TestWalkingGolden:
     def test_com_trajectory_matches_mujoco(self, strict):
         r = _run_replay(strict)
         com_err = np.linalg.norm(r["com_me"] - r["com_mj"], axis=1)
-        # (a) COM divergence bounded over the whole 0.2 s replay.
-        assert com_err.max() < 0.6, com_err.max()
-        # Early divergence is even tighter (error accumulates with contact
-        # chaos; the first quarter must track closely).
-        assert com_err[: N_STEPS // 4].max() < 0.45
+        # (a) COM divergence bounded over the whole 1 s replay.
+        assert com_err.max() < (1.7 if strict else 2.2), com_err.max()
+        # Early divergence is much tighter (error accumulates with contact
+        # chaos; the first quarter-second must track closely).
+        assert com_err[: N_STEPS // 4].max() < 0.6
         # Both engines actually locomote, by a comparable distance.
         dist_me = np.linalg.norm(r["com_me"][-1] - r["com_me"][0])
         dist_mj = np.linalg.norm(r["com_mj"][-1] - r["com_mj"][0])
-        assert dist_mj > 0.5  # MuJoCo walked (sanity: the workload is real)
+        assert dist_mj > 2.0  # MuJoCo walked (sanity: the workload is real)
         assert 0.6 * dist_mj < dist_me < 1.4 * dist_mj, (dist_me, dist_mj)
         # Standing height agreement at the end of the clip.
         assert abs(r["com_me"][-1, 2] - r["com_mj"][-1, 2]) < 0.12
@@ -176,11 +179,17 @@ class TestWalkingGolden:
     def test_stance_swing_timing_matches_mujoco(self, strict):
         r = _run_replay(strict)
         agree = (r["st_me"] == r["st_mj"]).mean(axis=0)
-        # (b) per-leg stance/swing classification agreement.
-        assert np.all(agree > 0.70), agree
+        # (b) per-leg stance/swing classification agreement over 1 s
+        # (measured floor: 0.768 default / 0.796 strict — the hind-right
+        # leg's high duty factor makes its threshold crossings the
+        # noisiest); the MEAN across legs is well above 0.8 in both modes.
+        assert np.all(agree > (0.75 if strict else 0.72)), agree
+        assert agree.mean() > 0.82, agree
         duty_me = r["st_me"].mean(axis=0)
         duty_mj = r["st_mj"].mean(axis=0)
-        assert np.all(np.abs(duty_me - duty_mj) < 0.12), (duty_me, duty_mj)
+        assert np.all(
+            np.abs(duty_me - duty_mj) < (0.10 if strict else 0.14)
+        ), (duty_me, duty_mj)
         # The gait is a real mixed stance/swing cycle in both engines, not
         # an always-down or always-up degenerate match.
         assert np.all(duty_mj > 0.2) and np.all(duty_mj < 0.98)
@@ -189,6 +198,6 @@ class TestWalkingGolden:
     def test_joint_angles_track_mujoco(self, strict):
         r = _run_replay(strict)
         qerr = np.abs(r["q_me"] - r["q_mj"])
-        # (c) joint-angle tracking error across all 66 leg DoFs.
-        assert qerr.max() < 0.12, qerr.max()
-        assert qerr.mean() < 0.012, qerr.mean()
+        # (c) joint-angle tracking error across all 66 leg DoFs over 1 s.
+        assert qerr.max() < (0.06 if strict else 0.15), qerr.max()
+        assert qerr.mean() < (0.008 if strict else 0.013), qerr.mean()
