@@ -197,7 +197,16 @@ class ModelSpec:
             "solver_exact": False,
             # Pure-jnp solver ops so jax.grad flows through the step.
             "differentiable": False,
-            "ncon_max": None,  # None -> 16 per attached fly
+            # Static contact-slot cap for the jnp solver: only the ncon
+            # CLOSEST candidates reach the solver each step (top-K, static
+            # shapes). The mega-kernel processes ALL candidates and
+            # ignores this. None -> 16 per attached fly — ample for
+            # locomotion (a walking fly grounds ~12 capsule ends), but
+            # dense multi-fly pile-ups can exceed it; raise it (or use
+            # the kernel path) if contacts appear to slip in crowds. The
+            # top-K selection is also a non-differentiable kink on the
+            # differentiable path (compile() warns there).
+            "ncon_max": None,
             # Nearest-neighbor compression of capsule-capsule pair rows:
             # instead of solving every geom1-geom2 pair, each geom1 group
             # contributes only its closest geom2 (per step). None -> auto
@@ -846,6 +855,20 @@ class ModelSpec:
             (ncand - ncand_pair) + len(pair_groups) if pair_compress else ncand
         )
         ncon = min(int(ncon_max), ncand_eff) if ncand else 0
+        if (
+            self.options.get("differentiable")
+            and ncand
+            and ncon < ncand_eff
+        ):
+            import warnings
+
+            warnings.warn(
+                f"differentiable mode with ncon={ncon} < {ncand_eff} "
+                "candidate rows: the top-K contact selection is a "
+                "non-differentiable kink and can chatter frame-to-frame "
+                "in dense scenes; consider raising options['ncon_max'] "
+                "to the full candidate count."
+            )
         ref_body = free_joints[0][0] if free_joints else min(nb - 1, 1)
 
         model = PhysicsModel(

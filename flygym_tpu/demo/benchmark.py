@@ -51,8 +51,24 @@ def make_model(
     spawn_position=(0, 0, 0.8),  # xyz in mm
     spawn_rotation=Rotation3D("quat", (1, 0, 0, 0)),
     simplify_geom=False,
+    trim_contacts=False,
 ):
-    """The canonical benchmark fly + world (reference ``time_gpu_simulation.py:21-64``)."""
+    """The canonical benchmark fly + world (reference ``time_gpu_simulation.py:21-64``).
+
+    Args:
+        trim_contacts: single-world latency specialization — restrict the
+            ground-candidate table to the distal tarsal links (tarsus3-5,
+            36 candidates vs the default preset's 110) and skip the
+            ground-contact sensors. On the flat-ground walking replay the
+            trajectory is numerically identical to the full preset (only
+            tarsal rows ever activate; measured max COM delta < 1e-3 mm
+            over 2,000 steps) while the mega-kernel's serial op chain
+            drops 279k -> 154k lane ops (~45%), which is the single-fly
+            ceiling lever named in docs/benchmarks.md. Keep False (the
+            reference-parity default) for anything other than flat-ground
+            locomotion — on rugged terrain or in collisions non-tarsal
+            segments DO make contact.
+    """
     geom_fitting = (
         GeomFittingOption.ALL_TO_CAPSULES
         if simplify_geom
@@ -76,7 +92,23 @@ def make_model(
     cam = fly.add_tracking_camera()
 
     world = FlatGroundWorld()
-    world.add_fly(fly, spawn_position, spawn_rotation)
+    if trim_contacts:
+        from flygym_tpu.anatomy import ALL_SEGMENT_NAMES, BodySegment
+
+        tips = [
+            BodySegment(n)
+            for n in ALL_SEGMENT_NAMES
+            if n.split("_", 1)[-1] in ("tarsus3", "tarsus4", "tarsus5")
+        ]
+        world.add_fly(
+            fly,
+            spawn_position,
+            spawn_rotation,
+            bodysegs_with_ground_contact=tips,
+            add_ground_contact_sensors=False,
+        )
+    else:
+        world.add_fly(fly, spawn_position, spawn_rotation)
     return fly, world, cam
 
 

@@ -186,6 +186,15 @@ def make_pair_winner_sampler(model: PhysicsModel):
     capsules move ~1e-3 mm/step, so the nearest-member choice flips far
     slower than the kernel chunk length).
 
+    Caveat (ADVICE r3): the quasi-static argument is weakest during fast
+    approach — a FIRST fly-fly impact landing mid-chunk can be attributed
+    to a stale (distant, inactive) winner for up to K steps, deepening
+    penetration exactly where the divergence tests use their loosest
+    tolerances. Impact-fidelity-sensitive runs should reduce
+    ``FLYGYM_TPU_MEGASTEP_K`` or disable compression
+    (``spec.options["pair_compress"] = False``); the K-chunk-fresh jnp
+    path (this function's in-step argmin) has no such lag.
+
     ``xpos``/``xquat`` are batched world body poses (B, nbody, 3/4).
     Winner indices are GROUP-LOCAL (0..size-1), returned as float32 lane
     values the kernel blends with eq-masks. Returns None for models

@@ -33,17 +33,20 @@ def sync(x):
     np.asarray(jax.tree_util.tree_leaves(x)[0])
 
 
-def bench_physics_only(n_steps, k_sweep):
+def bench_physics_only(n_steps, k_sweep, trim=False):
     import flygym_tpu
     from flygym_tpu.demo import make_model
 
-    print(f"== physics-only, 1 world, {n_steps} steps ==", flush=True)
+    label = " [trim_contacts]" if trim else ""
+    print(f"== physics-only, 1 world, {n_steps} steps{label} ==", flush=True)
     results = {}
     for K in k_sweep:
         import os
 
         os.environ["FLYGYM_TPU_MEGASTEP_K"] = str(K)
-        _fly, world, _cam = make_model(spawn_position=(0, 0, 1.2))
+        _fly, world, _cam = make_model(
+            spawn_position=(0, 0, 1.2), trim_contacts=trim
+        )
         sim = flygym_tpu.Simulation(world)
         sim.rollout(None, n_steps)  # compile + settle
         sync(sim.state.qpos)
@@ -61,7 +64,7 @@ def bench_physics_only(n_steps, k_sweep):
     return results
 
 
-def bench_step_render(n_steps, vision_every=20):
+def bench_step_render(n_steps, vision_every=20, trim=False):
     """CPG walking + retina at 500 Hz, one world, fused K=20 kernel."""
     import flygym_tpu
     from flygym_tpu.compose import ActuatorType
@@ -70,7 +73,9 @@ def bench_step_render(n_steps, vision_every=20):
     from flygym_tpu.ops.megastep import make_megastep, megastep_supported
     from flygym_tpu.vision import Retina
 
-    fly, world, _cam = make_model(spawn_position=(0, 0, 1.2))
+    fly, world, _cam = make_model(
+        spawn_position=(0, 0, 1.2), trim_contacts=trim
+    )
     sim = flygym_tpu.BatchSimulation(world, 1)
     model = sim.model
     sim.set_leg_adhesion_states(fly.name, np.ones((1, 6), np.float32))
@@ -153,11 +158,13 @@ def bench_step_render(n_steps, vision_every=20):
 
 
 def main():
-    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    k_sweep = [int(x) for x in sys.argv[2:]] or [8, 16, 32, 64]
+    args = [a for a in sys.argv[1:] if a != "--trim"]
+    trim = "--trim" in sys.argv[1:]
+    n_steps = int(args[0]) if args else 4000
+    k_sweep = [int(x) for x in args[1:]] or [8, 16, 32, 64]
     print("devices:", jax.devices(), flush=True)
-    bench_physics_only(n_steps, k_sweep)
-    bench_step_render(n_steps)
+    bench_physics_only(n_steps, k_sweep, trim=trim)
+    bench_step_render(n_steps, trim=trim)
 
 
 if __name__ == "__main__":

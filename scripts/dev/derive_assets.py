@@ -22,8 +22,6 @@ import sys
 from pathlib import Path
 
 import numpy as np
-import yaml
-
 REFERENCE = Path("/root/reference/src/flygym/assets/model")
 REFERENCE_DEMO = Path("/root/reference/src/flygym_demo/spotlight_data/assets")
 OUT = Path(__file__).resolve().parents[2] / "flygym_tpu" / "assets" / "model"
@@ -32,12 +30,14 @@ OUT_DEMO = Path(__file__).resolve().parents[2] / "flygym_tpu" / "assets" / "demo
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from flygym_tpu.anatomy import ALL_SEGMENT_NAMES  # noqa: E402
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import upstream_assets  # noqa: E402  (reference checkout OR in-repo bundle)
+
 SCALE = 1000.0  # reference meshes are in meters; the model works in mm
 
 
 def convert_rigging():
-    with open(REFERENCE / "rigging.yaml") as f:
-        rigging = yaml.safe_load(f)
+    rigging = upstream_assets.load_config("rigging")
     out = {
         name: {
             "pos": [float(x) for x in cfg["pos"]],
@@ -52,24 +52,20 @@ def convert_rigging():
 
 
 def convert_poses():
-    src_dir = REFERENCE / "pose" / "neutral"
     dst_dir = OUT / "pose" / "neutral"
     dst_dir.mkdir(parents=True, exist_ok=True)
-    for path in sorted(src_dir.glob("*.yaml")):
-        with open(path) as f:
-            pose = yaml.safe_load(f)
+    for stem, pose in sorted(upstream_assets.load_pose_dir("neutral").items()):
         out = {
             "angle_unit": pose["angle_unit"],
             "axis_order": list(pose["axis_order"]),
             "joint_angles": {k: float(v) for k, v in pose["joint_angles"].items()},
         }
-        (dst_dir / f"{path.stem}.json").write_text(json.dumps(out, indent=1))
-        print(f"pose/neutral/{path.stem}.json: {len(out['joint_angles'])} angles")
+        (dst_dir / f"{stem}.json").write_text(json.dumps(out, indent=1))
+        print(f"pose/neutral/{stem}.json: {len(out['joint_angles'])} angles")
 
 
 def convert_visuals():
-    with open(REFERENCE / "visuals.yaml") as f:
-        visuals = yaml.safe_load(f)
+    visuals = upstream_assets.load_config("visuals")
     (OUT / "visuals.json").write_text(json.dumps(visuals, indent=1))
     print(f"visuals.json: {len(visuals)} vis sets")
 
@@ -79,11 +75,7 @@ def mesh_path_for(segment: str) -> tuple[Path, float]:
     mesh_name, y_sign = segment, 1.0
     if segment.startswith("r"):
         mesh_name, y_sign = "l" + segment[1:], -1.0
-    for subdir in ("simplified_max2000faces", "fullsize"):
-        p = REFERENCE / "meshes" / subdir / f"{mesh_name}.stl"
-        if p.exists():
-            return p, y_sign
-    raise FileNotFoundError(segment)
+    return upstream_assets.mesh_stl_path(mesh_name), y_sign
 
 
 def derive_geometry(rigging: dict):
@@ -132,7 +124,10 @@ def derive_geometry(rigging: dict):
 
 def repackage_spotlight():
     OUT_DEMO.mkdir(parents=True, exist_ok=True)
-    data = np.load(REFERENCE_DEMO / "spotlight_behavior_clip.npz", allow_pickle=True)
+    src = REFERENCE_DEMO / "spotlight_behavior_clip.npz"
+    if not src.exists():
+        src = OUT_DEMO / "spotlight_behavior_clip.npz"  # already-shipped copy
+    data = np.load(src, allow_pickle=True)
     np.savez_compressed(
         OUT_DEMO / "spotlight_behavior_clip.npz", **{k: data[k] for k in data.files}
     )

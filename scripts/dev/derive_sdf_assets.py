@@ -27,6 +27,9 @@ from scipy import ndimage
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 REFERENCE = Path("/root/reference/src/flygym/assets/model")
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import upstream_assets  # noqa: E402  (reference checkout OR in-repo bundle)
 OUT = (
     Path(__file__).resolve().parents[2]
     / "flygym_tpu"
@@ -47,11 +50,7 @@ def mesh_path_for(segment: str):
     mesh_name, y_sign = segment, 1.0
     if segment.startswith("r") and not segment.startswith("rostrum"):
         mesh_name, y_sign = "l" + segment[1:], -1.0
-    for subdir in ("simplified_max2000faces", "fullsize"):
-        p = REFERENCE / "meshes" / subdir / f"{mesh_name}.stl"
-        if p.exists():
-            return p, y_sign
-    raise FileNotFoundError(mesh_name)
+    return upstream_assets.mesh_stl_path(mesh_name), y_sign
 
 
 def load_stl(path: Path) -> np.ndarray:
