@@ -105,7 +105,8 @@ class AxesSet(set):
         )
 
     def add(self, value, /):
-        super().add(RotationAxis(value))
+        axis = RotationAxis(value)  # coerce strings/aliases up front
+        super().add(axis)
 
     def remove(self, value, /):
         super().remove(RotationAxis(value))
@@ -312,7 +313,10 @@ class JointDOF:
             parent, child, axis = name.split("-")
             return cls(BodySegment(parent), BodySegment(child), RotationAxis(axis))
         except Exception as e:
-            raise ValueError(f"Invalid JointDOF name: {name}") from e
+            raise ValueError(
+                f"Cannot parse {name!r} as a JointDOF "
+                "(expected '{parent}-{child}-{axis}')."
+            ) from e
 
 
 @dataclass
@@ -496,7 +500,10 @@ class Skeleton:
         try:
             return Tree(nodes=self.body_segments, edges=list(self.joint_lookup))
         except ValueError as e:
-            raise ValueError("Skeleton is invalid - must be a tree.") from e
+            raise ValueError(
+                "Skeleton joints do not form a tree (cycle or orphan "
+                "segment detected)."
+            ) from e
 
     def iter_jointdofs(
         self, root: BodySegment | str = "c_thorax"

@@ -116,17 +116,17 @@ class ContactParams:
 
     def _raise_on_invalid_friction(self):
         if self.sliding_friction < 0:
-            raise ValueError("Sliding friction must be non-negative")
+            raise ValueError("sliding_friction cannot be negative")
         if self.torsional_friction < 0:
-            raise ValueError("Torsional friction must be non-negative")
+            raise ValueError("torsional_friction cannot be negative")
         if self.rolling_friction < 0:
-            raise ValueError("Rolling friction must be non-negative")
+            raise ValueError("rolling_friction cannot be negative")
 
     def _raise_on_invalid_solver_refaccl(self):
         if not self.solver_refaccl_timeconst > 0:
             raise ValueError("Solver reference time constant must be positive")
         if not self.solver_refaccl_dampratio > 0:
-            raise ValueError("Solver reference damping ratio must be positive")
+            raise ValueError("solver_refaccl_dampratio needs to be > 0")
 
     def _raise_on_invalid_solver_impedance(self):
         if not 0 < self.solver_impedance_min < 1:
@@ -137,11 +137,14 @@ class ContactParams:
             raise ValueError("Maximum solver impedance cannot be less than minimum")
         if not self.solver_impedance_min2max_width > 0:
             raise ValueError(
-                "Impedance mid-to-max transition must happen over a positive distance"
+                "impedance width: the mid-to-max transition needs a positive distance"
             )
         if not 0 < self.solver_impedance_transitionmidpoint < 1:
-            raise ValueError("Midpoint of impedance min-to-max must be in (0, 1)")
+            raise ValueError(
+                "impedance midpoint has to lie strictly inside (0, 1)"
+            )
         if self.solver_impedance_transitionsharpness < 1:
             raise ValueError(
-                "Sharpness of impedance transition must be at least linear (1)"
+                "impedance sharpness below 1 (sub-linear transitions are "
+                "not representable)"
             )

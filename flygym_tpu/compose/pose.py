@@ -18,7 +18,7 @@ from pathlib import Path
 import yaml
 
 from flygym_tpu import assets_dir
-from flygym_tpu.anatomy import AxisOrder, BodySegment, JointDOF, RotationAxis
+from flygym_tpu.anatomy import AxisOrder, RotationAxis
 
 __all__ = ["KinematicPose", "KinematicPosePreset"]
 
@@ -45,30 +45,30 @@ class KinematicPose:
         axis_order: AxisOrder | str | list[RotationAxis | str] | None = None,
         mirror_left2right: bool = True,
     ) -> None:
-        if joint_angles_rad_dict is not None and path is None:
-            if axis_order is None:
-                raise ValueError(
-                    "When initializing from `joint_angles_rad_dict`, axis_order "
-                    "must also be provided."
-                )
-            angles = dict(joint_angles_rad_dict)
-            axis_order = AxisOrder(axis_order)
-        elif path is not None and joint_angles_rad_dict is None:
+        if (path is None) == (joint_angles_rad_dict is None):
+            raise ValueError(
+                "Pass exactly one of `path` or `joint_angles_rad_dict`."
+            )
+        if path is not None:
             if axis_order is not None:
                 raise ValueError(
-                    "When initializing from `path`, `axis_order` should not be "
-                    "provided because it will be loaded from the pose file."
+                    "`axis_order` comes from the pose file itself; don't pass "
+                    "it together with `path`."
                 )
-            angles, axis_order = _load_pose_file(path)
+            angles, order = _load_pose_file(path)
         else:
-            raise ValueError(
-                "Either joint_angles_rad_dict or path must be provided, but not both."
-            )
+            if axis_order is None:
+                raise ValueError(
+                    "`joint_angles_rad_dict` carries no axis order — pass "
+                    "`axis_order` explicitly."
+                )
+            angles, order = dict(joint_angles_rad_dict), AxisOrder(axis_order)
 
         if mirror_left2right:
-            _mirror_left2right_in_place(angles)
+            for rname, angle in _mirrored_right_side(angles):
+                angles.setdefault(rname, angle)
 
-        self.axis_order = axis_order
+        self.axis_order = order
         self.joint_angles_lookup_rad = angles
 
     def copy(self) -> "KinematicPose":
@@ -85,43 +85,55 @@ def _load_pose_file(path: PathLike) -> tuple[dict[str, float], AxisOrder]:
         data = json.load(f) if path.suffix == ".json" else yaml.safe_load(f)
 
     unit = data.get("angle_unit")
-    if unit not in ("degree", "radian"):
-        raise ValueError("YAML file must contain angle_unit: 'degree' or 'radian'.")
+    if unit == "degree":
+        scale = math.pi / 180.0
+    elif unit == "radian":
+        scale = 1.0
+    else:
+        raise ValueError(
+            f"Pose file {path.name}: angle_unit {unit!r} (want 'degree' or "
+            "'radian')."
+        )
 
-    raw_angles = data.get("joint_angles")
-    if not isinstance(raw_angles, dict):
-        raise ValueError("YAML file must contain 'joint_angles' mapping.")
-    for name, value in raw_angles.items():
+    raw = data.get("joint_angles")
+    if not isinstance(raw, dict):
+        raise ValueError(f"Pose file {path.name}: no 'joint_angles' mapping.")
+    angles = {}
+    for name, value in raw.items():
         if not isinstance(value, (int, float)):
-            raise ValueError(f"Joint angle for '{name}' must be a number.")
-
-    to_rad = math.radians if unit == "degree" else float
-    angles = {name: to_rad(value) for name, value in raw_angles.items()}
+            raise ValueError(
+                f"Pose file {path.name}: angle {name!r} is {value!r}, not a "
+                "number."
+            )
+        angles[name] = scale * value
 
     raw_order = data.get("axis_order")
     try:
-        axis_order = AxisOrder(raw_order)
+        order = AxisOrder(raw_order)
     except (ValueError, TypeError):
-        raise ValueError(f"Invalid or missing axis_order: {raw_order}")
-    return angles, axis_order
-
-
-def _mirror_left2right_in_place(angles: dict[str, float]) -> None:
-    """Copy each left-side angle onto the corresponding right-side DoF when the
-    latter is missing. Mutates the dict in place."""
-    for name, angle in list(angles.items()):
-        dof = JointDOF.from_name(name)
-        if dof.child.name[0] != "l":
-            continue
-        parent_name = dof.parent.name
-        if parent_name[0] == "l":
-            parent_name = "r" + parent_name[1:]
-        mirrored = JointDOF(
-            BodySegment(parent_name),
-            BodySegment("r" + dof.child.name[1:]),
-            dof.axis,
+        raise ValueError(
+            f"Pose file {path.name}: bad or absent axis_order {raw_order!r}."
         )
-        angles.setdefault(mirrored.name, float(angle))
+    return angles, order
+
+
+def _mirrored_right_side(angles: dict[str, float]):
+    """Yield (right-side DoF name, angle) for every left-side entry.
+
+    DoF names follow ``{parent}-{child}-{axis}``; body-segment sides are
+    single-letter prefixes (``l`` left, ``r`` right, ``c`` center), so
+    mirroring is prefix surgery on the parent/child parts — center parents
+    (e.g. ``c_thorax``) stay as they are.
+    """
+
+    def flip(seg: str) -> str:
+        return "r" + seg[1:] if seg.startswith("l") else seg
+
+    for name, angle in list(angles.items()):
+        parent, child, axis = name.split("-")
+        if not child.startswith("l"):
+            continue
+        yield f"{flip(parent)}-{flip(child)}-{axis}", float(angle)
 
 
 class KinematicPosePreset(Enum):
@@ -136,7 +148,7 @@ class KinematicPosePreset(Enum):
     def get_dir(self) -> Path:
         if self is KinematicPosePreset.NEUTRAL:
             return assets_dir / "model/pose/neutral"
-        raise ValueError(f"Unsupported KinematicPosePreset: {self.value}")
+        raise ValueError(f"No pose file is registered for preset {self.value!r}.")
 
     def get_pose_by_axis_order(
         self, axis_order: AxisOrder, mirror_left2right: bool = True

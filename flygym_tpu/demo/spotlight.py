@@ -16,6 +16,23 @@ __all__ = ["MotionSnippet"]
 
 DEFAULT_CLIP_PATH = assets_dir / "demo/spotlight_behavior_clip.npz"
 
+# NPZ field -> (attribute, decoder). The names are the recording format's
+# schema (shared with the upstream clip files).
+_CLIP_FIELDS = {
+    "rawpred_egoxyz": ("rawpred_egoxyz", np.asarray),
+    "fwdkin_egoxyz": ("fwdkin_egoxyz", np.asarray),
+    "joint_angles": ("joint_angles", lambda a: np.array(a, copy=True)),
+    "keypoints": ("keypoints", lambda a: [tuple(x) for x in a.tolist()]),
+    "legs": ("legs", lambda a: a.tolist()),
+    "dofs_per_leg": ("dofs_per_leg", lambda a: [tuple(x) for x in a.tolist()]),
+    "experiment_trial": ("experiment_trial", lambda a: a.item()),
+    "framerange_in_raw_recording": (
+        "framerange_in_raw_recording",
+        lambda a: a.tolist(),
+    ),
+    "data_fps": ("data_fps", lambda a: a.item()),
+}
+
 
 class MotionSnippet:
     """A short clip of experimentally recorded fly leg kinematics.
@@ -40,30 +57,19 @@ class MotionSnippet:
         *,
         angles_global2anatomical: bool = True,
     ) -> None:
-        if data_path is None:
-            data_path = DEFAULT_CLIP_PATH
-        data = np.load(data_path, allow_pickle=True)
-        self.rawpred_egoxyz = data["rawpred_egoxyz"]
-        self.fwdkin_egoxyz = data["fwdkin_egoxyz"]
-        self.joint_angles = data["joint_angles"].copy()
-        self.keypoints = [tuple(x) for x in data["keypoints"].tolist()]
-        self.legs = data["legs"].tolist()
-        self.dofs_per_leg = [tuple(x) for x in data["dofs_per_leg"].tolist()]
-        self.experiment_trial = data["experiment_trial"].item()
-        self.framerange_in_raw_recording = data["framerange_in_raw_recording"].tolist()
-        self.data_fps = data["data_fps"].item()
-
+        npz = np.load(data_path or DEFAULT_CLIP_PATH, allow_pickle=True)
+        for field, (attr, decode) in _CLIP_FIELDS.items():
+            setattr(self, attr, decode(npz[field]))
         if angles_global2anatomical:
             self._flip_right_roll_yaw()
 
     def _flip_right_roll_yaw(self) -> None:
-        right_legs = [i for i, leg in enumerate(self.legs) if leg.startswith("r")]
-        mirror_dofs = [
-            i
-            for i, (_, _, axis) in enumerate(self.dofs_per_leg)
-            if axis in ("roll", "yaw")
-        ]
-        self.joint_angles[np.ix_(range(len(self.joint_angles)), right_legs, mirror_dofs)] *= -1
+        on_right = np.array([leg[0] == "r" for leg in self.legs])
+        is_mirror_axis = np.array(
+            [axis in ("roll", "yaw") for _p, _c, axis in self.dofs_per_leg]
+        )
+        sign = np.where(on_right[:, None] & is_mirror_axis[None, :], -1.0, 1.0)
+        self.joint_angles *= sign[None, :, :]
 
     def get_joint_angles(
         self,
@@ -85,20 +91,15 @@ class MotionSnippet:
         from scipy.interpolate import interp1d
         from scipy.signal import savgol_filter
 
-        window = int(sgfilter_window_sec * self.data_fps)
-        window += 1 - (window % 2)  # must be odd
+        # Odd smoothing window spanning sgfilter_window_sec of recording.
+        window = int(sgfilter_window_sec * self.data_fps) | 1
         smoothed = savgol_filter(
-            self.joint_angles,
-            window_length=window,
-            polyorder=sgfilter_polyorder,
-            axis=0,
+            self.joint_angles, window, sgfilter_polyorder, axis=0
         )
 
-        n_frames = self.joint_angles.shape[0]
-        duration = n_frames / self.data_fps
-        src_t = np.arange(n_frames) / self.data_fps
-        out_t = np.arange(0, duration, output_timestep)
-        interp = interp1d(
+        src_t = np.arange(len(smoothed)) / self.data_fps
+        out_t = np.arange(0, len(smoothed) / self.data_fps, output_timestep)
+        spline = interp1d(
             src_t,
             smoothed,
             kind="cubic",
@@ -106,18 +107,12 @@ class MotionSnippet:
             bounds_error=False,
             fill_value=(smoothed[0], smoothed[-1]),
         )
-        resampled = interp(out_t)
+        resampled = spline(out_t)
 
-        pairs = np.array(
-            [
-                (
-                    self.legs.index(dof.child.pos),
-                    self.dofs_per_leg.index(
-                        (dof.parent.link, dof.child.link, dof.axis.value)
-                    ),
-                )
-                for dof in output_dof_order
-            ],
-            dtype=np.int32,
-        )
-        return resampled[:, pairs[:, 0], pairs[:, 1]]
+        # (leg index, DoF-within-leg index) for each requested sim DoF.
+        leg_of = [self.legs.index(d.child.pos) for d in output_dof_order]
+        slot_of = [
+            self.dofs_per_leg.index((d.parent.link, d.child.link, d.axis.value))
+            for d in output_dof_order
+        ]
+        return resampled[:, leg_of, slot_of]
