@@ -183,6 +183,10 @@ class ModelSpec:
         self.pairs: list[PairSpec] = []
         self.contact_sensors: list[ContactSensorSpec] = []
         self.cameras: list[CameraSpec] = []
+        # Soft weld constraints: (root body full name, refpos, refquat,
+        # solref, solimp) pinning a free root body to a world pose
+        # (TetheredWorld(weld="soft"); MuJoCo <equality><weld> analog).
+        self.welds: list[tuple] = []
         # Optional heightfield terrain: dict(data (nr, nc) heights in mm,
         # xy0 (2,), cell (2,) spacing). None → flat ground plane.
         self.hfield: dict | None = None
@@ -871,6 +875,21 @@ class ModelSpec:
             )
         ref_body = free_joints[0][0] if free_joints else min(nb - 1, 1)
 
+        weld_rows = []
+        for wbody, wpos, wquat, wsolref, wsolimp in self.welds:
+            bid = body_id[wbody]
+            for fb, fqadr, fvadr in free_joints:
+                if fb == bid:
+                    weld_rows.append(
+                        (bid, fqadr, fvadr, tuple(wpos), tuple(wquat),
+                         tuple(wsolref), tuple(wsolimp))
+                    )
+                    break
+            else:
+                raise ValueError(
+                    f"Weld target {wbody!r} has no free root joint."
+                )
+
         model = PhysicsModel(
             nbody=nb,
             nq=nq,
@@ -883,6 +902,7 @@ class ModelSpec:
             ncand=ncand,
             ncand_pair=ncand_pair,
             pair_groups=tuple(pair_groups),
+            welds=tuple(weld_rows),
             pair_compress=pair_compress,
             ncon=ncon,
             condim=condim,
@@ -1215,6 +1235,20 @@ class ModelSpec:
             if child != 0:
                 write_body(int(child), "    ")
         w("  </worldbody>\n")
+
+        if self.welds:
+            w("  <equality>\n")
+            for wbody, _wpos, _wquat, wsolref, wsolimp in self.welds:
+                # All-zero relpose quaternion = "weld at the qpos0 relative
+                # pose" (MuJoCo semantics); qpos0 is the spawn pose here.
+                sr = " ".join(str(x) for x in wsolref)
+                si2 = " ".join(str(x) for x in wsolimp)
+                w(
+                    f'    <weld body1="{wbody}" body2="world" '
+                    f'relpose="0 0 0 0 0 0 0" '
+                    f'solref="{sr}" solimp="{si2}"/>\n'
+                )
+            w("  </equality>\n")
 
         if self.pairs:
             w("  <contact>\n")

@@ -419,24 +419,58 @@ class GappedTerrainWorld(HeightfieldTerrainWorld):
 
 
 class TetheredWorld(BaseWorld):
-    """World where the fly body is rigidly fixed in space; appendages move.
+    """World where the fly body is fixed in space; appendages move.
 
     Useful for motor control experiments without locomotion
     (``world.py:334-366``).
+
+    Args:
+        weld: ``"hard"`` (default) removes the root DoFs entirely — the
+            body is exactly rigid in space (fastest, and what most motor-
+            control analyses assume). ``"soft"`` reproduces the reference's
+            equality-weld semantics: the root keeps its free joint and is
+            pinned by a soft 6-DoF constraint at the reference's
+            (solref, solimp), so constraint-force readouts and the µm-scale
+            compliance at the tether match MuJoCo (golden-tested in
+            tests/engine/test_weld_golden.py). Soft-weld models run on the
+            jnp engine path (not the mega-kernel).
     """
 
-    def __init__(self, name: str = "tethered_world") -> None:
+    def __init__(self, name: str = "tethered_world", *, weld: str = "hard") -> None:
+        if weld not in ("hard", "soft"):
+            raise ValueError(f"weld must be 'hard' or 'soft', got {weld!r}")
         super().__init__(name=name)
+        self.weld = weld
 
     def _attach_fly(self, fly, spawn_position: Vec3, spawn_rotation: Rotation3D):
-        self._spec.attach(
+        if self.weld == "hard":
+            self._spec.attach(
+                fly.spec,
+                prefix=fly.name,
+                spawn_pos=tuple(spawn_position),
+                spawn_quat=tuple(spawn_rotation.values),
+                free_joint_name=None,  # hard weld: no root DoFs
+            )
+            return None
+        freejoint = self._spec.attach(
             fly.spec,
             prefix=fly.name,
             spawn_pos=tuple(spawn_position),
             spawn_quat=tuple(spawn_rotation.values),
-            free_joint_name=None,  # hard weld: no root DoFs
+            free_joint_name=fly.name,
         )
-        return None
+        root_body = f"{fly.name}/{fly.spec.bodies[0].name}"
+        # Reference equality-weld parameters (world.py:356-360).
+        self._spec.welds.append(
+            (
+                root_body,
+                tuple(spawn_position),
+                tuple(spawn_rotation.values),
+                (2e-4, 1.0),
+                (0.98, 0.99, 1e-5, 0.5, 3.0),
+            )
+        )
+        return freejoint
 
 
 def _sort_legsegs_prox2dist(segments: list[BodySegment]) -> list[BodySegment]:

@@ -200,6 +200,13 @@ class PhysicsModel:
     hfield_xy0: jnp.ndarray  # (2,)
     hfield_cell: jnp.ndarray  # (2,)
 
+    # Soft weld constraints (TetheredWorld(weld="soft")): per weld a tuple
+    # (body, qadr, vadr, refpos (3,), refquat (4,), solref (2,),
+    # solimp (5,)) pinning a FREE root body to a world pose with MuJoCo's
+    # equality-weld softness (reference world.py:334-366). Solved as a
+    # mass-consistent penalty on the root's 6 DoFs (engine/step.py).
+    welds: tuple = static_field()
+
     # ---- actuators ----
     act_kind: jnp.ndarray  # (nu,) i32, see ActKind
     act_hinge: jnp.ndarray  # (nu,) i32 target hinge or -1

@@ -59,6 +59,8 @@ def step(model: PhysicsModel, state: State) -> State:
         model, qpos, qvel, ctrl, state.act
     )
     qfrc_smooth = qfrc_passive + qfrc_act - qfrc_bias
+    if model.welds:
+        qfrc_smooth = qfrc_smooth + _weld_forces(model, qpos, qvel, M)
 
     # Implicit joint damping: solve (M + h diag(B)) a = f  (MuJoCo Euler).
     Mh = M + dt * jnp.diag(model.dof_damping)
@@ -110,6 +112,49 @@ def step(model: PhysicsModel, state: State) -> State:
         actuator_force=actuator_force,
         contact_sensordata=sensordata,
     )
+
+
+def _weld_forces(model: PhysicsModel, qpos, qvel, M):
+    """Soft-weld restoring wrench on welded free roots (TetheredWorld soft).
+
+    MuJoCo's equality weld is a 6-row soft constraint with (solref, solimp)
+    Baumgarte dynamics (reference ``world.py:334-366``); here it is applied
+    as a mass-consistent penalty: the reference acceleration
+    a_ref = -imp (k err + b vel) on the root's 6 DoFs, mapped to a
+    generalized force through the columns of M (exact when the weld error
+    is resisted chiefly by the root's own inertia — the tethered regime).
+    Explicitly integrated; stable at the reference's solref (2e-4, 1) with
+    dt = 1e-4 (omega dt = 0.5, damping dt ~ 1 under semi-implicit Euler).
+    """
+    from flygym_tpu.engine.maths import quat_conj, quat_mul
+
+    qfrc = jnp.zeros_like(qpos[: model.nv])
+    for _body, qadr, vadr, refpos, refquat, solref, solimp in model.welds:
+        p = qpos[qadr : qadr + 3]
+        q = qpos[qadr + 3 : qadr + 7]
+        e_lin = p - jnp.asarray(refpos, qpos.dtype)
+        q_err = quat_mul(q, quat_conj(jnp.asarray(refquat, qpos.dtype)))
+        # World-frame small-rotation vector, sign-fixed to the short arc.
+        e_rot = 2.0 * jnp.sign(q_err[0]) * q_err[1:4]
+        err = jnp.concatenate([e_lin, e_rot])
+        vel = qvel[vadr : vadr + 6]
+
+        imp = _impedance_scalar(solimp, jnp.linalg.norm(err))
+        tc, dr = solref
+        dmax = solimp[1]
+        k = 1.0 / (dmax * dmax * tc * tc * dr * dr)
+        b = 2.0 / (dmax * tc)
+        a_ref = -imp * (k * err + b * vel)
+        qfrc = qfrc + M[:, vadr : vadr + 6] @ a_ref
+    return qfrc
+
+
+def _impedance_scalar(solimp, violation):
+    """MuJoCo solimp impedance for a single scalar violation."""
+    from flygym_tpu.engine.contact import _impedance
+
+    row = jnp.asarray(solimp, violation.dtype)[None, :]
+    return _impedance(row, -violation[None])[0]
 
 
 def _integrate_qpos(model: PhysicsModel, qpos, qvel, dt):

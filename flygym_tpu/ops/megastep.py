@@ -698,6 +698,10 @@ def megastep_supported(model) -> bool:
     """
     if model.solver_type == "pgs":
         return False
+    if getattr(model, "welds", ()):
+        # Soft-weld tethers (TetheredWorld(weld="soft")) stay on the jnp
+        # path: a niche single-fly configuration, not a batch perf path.
+        return False
     est = (
         _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
     )
