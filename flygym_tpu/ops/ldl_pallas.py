@@ -119,6 +119,15 @@ def _factor_batched_pallas(static, H):
     nb = Ht.shape[1] // LANE_BLOCK
 
     kernel = functools.partial(_factor_kernel, nv, maxc, chains, height_levels)
+    # Size the per-kernel VMEM limit from the actual tiles: the (nv*nv)
+    # input window (double-buffered) + scratch + (nv*maxc + nv) outputs
+    # (double-buffered). The old fixed 64 MiB OOM'd at nv=210 (204-DoF
+    # preset: 70.77 MiB measured); per-kernel sizing keeps small models'
+    # pipelines unthrottled (ROADMAP: a global oversized scoped region
+    # itself costs throughput).
+    tile_bytes = LANE_BLOCK * 4
+    need = (3 * nv * nv + 2 * (nv * maxc + nv)) * tile_bytes + 8 * 2**20
+    vmem_limit = min(max(64 * 2**20, need), 120 * 2**20)
     L_t, d_t = pl.pallas_call(
         kernel,
         out_shape=(
@@ -144,7 +153,7 @@ def _factor_batched_pallas(static, H):
         scratch_shapes=[pltpu.VMEM((nv * nv, LANE_BLOCK), H.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=vmem_limit,
         ),
     )(Ht)
     L = jnp.transpose(L_t[:, :B].reshape(nv, maxc, B), (2, 0, 1))
@@ -174,6 +183,10 @@ def _solve_batched_pallas(static, L, d, b):
     kernel = functools.partial(
         _solve_kernel, nv, maxc, chains, height_levels, depth_levels
     )
+    # (nv*maxc + 2nv) inputs + nv output, double-buffered, + nv scratch.
+    tile_bytes = LANE_BLOCK * 4
+    need = (2 * (nv * maxc + 3 * nv) + nv) * tile_bytes + 8 * 2**20
+    vmem_limit = min(max(64 * 2**20, need), 120 * 2**20)
     x_t = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nv, b_t.shape[1]), b.dtype),
@@ -195,7 +208,7 @@ def _solve_batched_pallas(static, L, d, b):
         scratch_shapes=[pltpu.VMEM((nv, LANE_BLOCK), b.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=vmem_limit,
         ),
     )(L_t, d_t, b_t)
     return jnp.transpose(x_t[:, :B0], (1, 0))

@@ -98,14 +98,19 @@ def _est_scoped_mb(model) -> float:
       pipeline keeps 2x(n_in + n_out) (8, 128) tiles resident — the same
       kernel measures 101.36 MiB total at 4 grid blocks.
     """
-    # NOTE: constants measured on the pre-unification fused emitter (which
-    # materialized ~7x|path| row-Jacobian values per candidate); the
-    # current _contacts_impl holds ~3x|path| comps + per-row jar/jd/djd,
-    # so this over-estimates the stack — safe (the per-kernel VMEM limit
-    # is sized from it) but worth re-measuring on hardware since an
-    # oversized scoped region itself taxes throughput (see ROADMAP).
+    # Recalibrated 2026-08-19 on two hardware points: the two-fly pair-row
+    # model (nv=144, npairs=1626: stack 85.35 MiB measured) and the
+    # 204-DoF ALL_POSSIBLE model (nv=210, npairs=3408: 146.32 MiB TOTAL
+    # measured from the Mosaic out-of-VMEM dump, ~120 MiB stack after
+    # subtracting its ~26 MiB of double-buffered I/O windows). The live
+    # set tracks the mass-matrix TREE-PAIR count (nv + sum of per-DoF
+    # ancestor-chain lengths), not nv: deep single-tree models (wings/
+    # abdomen chains) were badly under-estimated by the old 0.25*nv term
+    # and compiled past the 128 MiB ceiling. Fit reproduces the failure
+    # point to ~1 MiB and keeps the two-fly calibration exact.
     n_groups, gmax, kernel_ncand = _pair_comp_shape(model)
-    stack = 20.0 + 0.25 * model.nv + 0.11 * kernel_ncand
+    npairs = model.nv + sum(len(c) for c in model.dof_chains)
+    stack = 14.0 + 0.028 * npairs + 0.11 * kernel_ncand
     # Compressed pair rows keep only the winner lane + per-row jar/jd/djd
     # scalars resident through the solve (sign masks and comps are rebuilt
     # lazily at each use point — no_comp_cache); the member-blend eq-masks
@@ -160,8 +165,11 @@ def _est_stream_mb(model) -> float:
         + 4 * model.nv
         + 38 * kernel_ncand
     )
-    return 12.0 + lanes / 256.0 + (_est_scoped_mb(model) - 20.0
-                                   - 0.25 * model.nv - 0.11 * kernel_ncand)
+    # I/O part = fused estimate minus its (recalibrated) stack model.
+    npairs_ = model.nv + sum(len(c) for c in model.dof_chains)
+    return 12.0 + lanes / 256.0 + (
+        _est_scoped_mb(model) - 14.0 - 0.028 * npairs_ - 0.11 * kernel_ncand
+    )
 
 
 def _stream_mode(model) -> bool:
@@ -705,7 +713,11 @@ def megastep_supported(model) -> bool:
     est = (
         _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
     )
-    return est <= 108.0  # headroom under the 128 MiB physical VMEM
+    # Headroom under the 128 MiB physical VMEM. 118 with the 2026-08-19
+    # recalibration: the estimator now reproduces the 204-DoF OOM point
+    # (136 est vs 146 measured — correctly excluded) while keeping the
+    # two-fly compressed model (est 108.9, runs on hardware) in-kernel.
+    return est <= 118.0
 
 
 # ---------------------------------------------------------------------------

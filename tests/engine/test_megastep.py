@@ -728,3 +728,34 @@ class TestConstFoldedQuatHelpers:
                 np.testing.assert_allclose(
                     np.asarray(got), np.asarray(want), atol=1e-6
                 )
+
+
+class TestVmemGate:
+    """The scoped-VMEM estimator gate (recalibrated 2026-08-19): the
+    204-DoF ALL_POSSIBLE preset measured 146.32 MiB on v5e — past the
+    128 MiB ceiling — so it must NOT be kernel-eligible (it silently
+    rode the kernel before the recalibration and OOM'd at compile);
+    the smaller presets and the compressed two-fly model must stay
+    in-kernel. The estimator tracks mass-matrix TREE PAIRS, not nv."""
+
+    def test_all_possible_gated_to_jnp(self):
+        from flygym_tpu.anatomy import JointPreset, Skeleton
+        from flygym_tpu.compose import Fly, FlatGroundWorld, KinematicPosePreset
+        from flygym_tpu.utils.math import Rotation3D
+
+        def model_for(preset):
+            fly = Fly(name="f")
+            fly.add_joints(
+                Skeleton(axis_order="ypr", joint_preset=preset),
+                neutral_pose=KinematicPosePreset.NEUTRAL,
+            )
+            world = FlatGroundWorld()
+            world.add_fly(fly, (0, 0, 0.8), Rotation3D("quat", (1, 0, 0, 0)))
+            return world.compile()[0]
+
+        assert ms.megastep_supported(model_for(JointPreset.LEGS_ONLY))
+        assert ms.megastep_supported(model_for(JointPreset.ALL_BIOLOGICAL))
+        m_ap = model_for(JointPreset.ALL_POSSIBLE)
+        assert not ms.megastep_supported(m_ap)
+        # The estimate reproduces the measured hardware OOM point (~146 MiB).
+        assert 125.0 < ms._est_scoped_mb(m_ap) < 160.0
