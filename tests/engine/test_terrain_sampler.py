@@ -107,3 +107,42 @@ def test_group_windows_cover_candidate_spread(model_and_states):
         xy = ep[:, cand_idx, :2]
         spread = (xy.max(axis=1) - xy.min(axis=1)).max() / cell
         assert spread + 3 < min(Wy, Wx)
+
+
+def test_nonsquare_grid_window_coverage():
+    """ADVICE r3: on a strongly non-square grid where the reach bound
+    exceeds the SHORT dim, a forced window sampler must still produce the
+    onehot reference heights — the window clamps per axis, never shrinking
+    coverage along the long axis."""
+    from flygym_tpu.compose import HeightfieldTerrainWorld
+
+    # 25 x 257 grid (y short, x long): ~6 x 64 mm at 4 cells/mm.
+    rng = np.random.default_rng(7)
+    H = rng.uniform(0.0, 0.5, size=(25, 257)).astype(np.float32)
+    fly = Fly(name="nsq")
+    fly.add_joints(
+        Skeleton(axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY),
+        neutral_pose=KinematicPosePreset.NEUTRAL,
+    )
+    world = HeightfieldTerrainWorld(
+        heights=H, xy0=(-32.0, -3.0), cell=(0.25, 0.25)
+    )
+    world.add_fly(fly, (0, 0, 1.5), Rotation3D("quat", (1, 0, 0, 0)))
+    model, state = world.compile()
+
+    # The fly's reach bound (W = 32 cells) exceeds the short (y) dim of
+    # 25 — exactly the case the old square min-clamp corrupted.
+    groups = candidate_group_windows(model)
+    assert any(wy == 25 and wx > 25 for _c, (wy, wx) in groups), groups
+
+    B = 3
+    xpos = np.broadcast_to(np.asarray(state.xpos), (B,) + state.xpos.shape).copy()
+    xquat = np.broadcast_to(
+        np.asarray(state.xquat), (B,) + state.xquat.shape
+    ).copy()
+    xpos[..., 0] += np.array([0.0, 20.0, -25.0], np.float32)[:, None]
+    xpos, xquat = jnp.asarray(xpos), jnp.asarray(xquat)
+
+    ref = np.asarray(make_plane_sampler(model, "onehot")(xpos, xquat))
+    win = np.asarray(make_plane_sampler(model, "window")(xpos, xquat))
+    np.testing.assert_allclose(win, ref, atol=2e-4)
