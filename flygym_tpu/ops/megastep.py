@@ -111,13 +111,20 @@ def _est_scoped_mb(model) -> float:
     n_groups, gmax, kernel_ncand = _pair_comp_shape(model)
     npairs = model.nv + sum(len(c) for c in model.dof_chains)
     stack = 14.0 + 0.028 * npairs + 0.11 * kernel_ncand
-    # Compressed pair rows keep only the winner lane + per-row jar/jd/djd
-    # scalars resident through the solve (sign masks and comps are rebuilt
-    # lazily at each use point — no_comp_cache); the member-blend eq-masks
-    # peak at gmax transient tiles while the row geometry is assembled.
+    # Compressed pair rows: the lazy-mask design keeps only the winner
+    # lane nominally resident, but Mosaic's register allocator measures
+    # FAR worse on real hardware — the full two-fly preset (55 groups of
+    # 55) compiled to 223.82 MiB of register spill slots (248.96 MiB
+    # total vs the 128 ceiling; 2026-08-19 OOM dump). The winner-blend
+    # geometry rebuild at each use point multiplies live ranges roughly
+    # with n_groups x gmax; calibrated on that point at ~0.044 MiB per
+    # group-member product. Small groups (the capcap goldens, group of 2)
+    # are unaffected; the oversized two-fly preset now correctly falls
+    # back to the jnp path.
     tile_mb = (SUBLANES * LANE * 4) / 2**20
     nrows = max(1, 2 * (model.condim - 1))
     stack += (gmax + 3 * nrows * n_groups) * tile_mb
+    stack += 0.044 * n_groups * gmax
     n_terrain = 4 * kernel_ncand if model.has_hfield else 0
     n_in = (
         model.nq + 2 * model.nv + model.nu + model.na + n_terrain + n_groups
@@ -695,8 +702,13 @@ def megastep_supported(model) -> bool:
     pair_compress, auto for >= 512 pair rows): the kernel emits ONE row per
     geom1 group whose geom2 is the group's runtime winner, sampled out of
     the kernel (K-chunk-stale, like the terrain planes) and blended with
-    eq-masks — the default two-fly preset (3,025 pair rows → 55 kernel
-    rows) runs in-kernel this way.
+    eq-masks. Hardware caveat (2026-08-19): the winner-blend geometry
+    rebuilds multiply Mosaic register pressure with n_groups x gmax — the
+    default two-fly preset (55 groups of 55) measured 248.96 MiB on v5e
+    (223.82 MiB of register spill slots), so it is VMEM-gated to the jnp
+    path; small compressed groups stay in-kernel (golden-tested with a
+    group of 2 through the emitter). Small EXPLICIT pair sets (e.g. the
+    49-row thorax-only two-fly config) run in-kernel uncompressed.
 
     The strict-parity exact-Newton mode (model.solver_exact) runs
     in-kernel: the Hessian is re-filled and re-factored from the current

@@ -115,16 +115,23 @@ class TestSemantics:
 
 
 def test_kernel_gate_matches_engine_semantics():
-    """Compressed models ARE kernel-eligible (the kernel emits one row per
-    geom1 group, blending the runtime winner with eq-masks); the full
-    3,025-row pair set keeps falling back on VMEM grounds as before."""
-    from flygym_tpu.ops.megastep import megastep_supported
+    """VMEM gating of pair rows (recalibrated 2026-08-19 on hardware):
+    the full 3,025-row pair set falls back on VMEM grounds as before, and
+    the COMPRESSED two-fly preset is now ALSO gated out — its winner-blend
+    geometry rebuilds measured 248.96 MiB on v5e (223.82 MiB of Mosaic
+    register spill slots; the interpret-mode CI that validated the design
+    does not model VMEM). Compressed kernels remain supported for small
+    groups (the capcap goldens run a group of 2 through the emitter); the
+    oversized preset runs compressed on the jnp path instead."""
+    from flygym_tpu.ops.megastep import _est_scoped_mb, megastep_supported
 
     mc, _ = _two_fly_world(dz=2.0).compile()
     mf, _ = _two_fly_world(dz=2.0, compress=False).compile()
     assert not megastep_supported(mf)
     assert mc.pair_compress
-    assert megastep_supported(mc), "compressed two-fly preset must fit"
+    assert not megastep_supported(mc)
+    # The estimate reproduces the measured hardware OOM point (~249 MiB).
+    assert 200.0 < _est_scoped_mb(mc) < 300.0, _est_scoped_mb(mc)
 
 
 class TestKernelCompressedRows:
