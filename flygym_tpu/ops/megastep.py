@@ -98,33 +98,36 @@ def _est_scoped_mb(model) -> float:
       pipeline keeps 2x(n_in + n_out) (8, 128) tiles resident — the same
       kernel measures 101.36 MiB total at 4 grid blocks.
     """
-    # Recalibrated 2026-08-19 on two hardware points: the two-fly pair-row
-    # model (nv=144, npairs=1626: stack 85.35 MiB measured) and the
-    # 204-DoF ALL_POSSIBLE model (nv=210, npairs=3408: 146.32 MiB TOTAL
-    # measured from the Mosaic out-of-VMEM dump, ~120 MiB stack after
-    # subtracting its ~26 MiB of double-buffered I/O windows). The live
-    # set tracks the mass-matrix TREE-PAIR count (nv + sum of per-DoF
-    # ancestor-chain lengths), not nv: deep single-tree models (wings/
-    # abdomen chains) were badly under-estimated by the old 0.25*nv term
-    # and compiled past the 128 MiB ceiling. Fit reproduces the failure
-    # point to ~1 MiB and keeps the two-fly calibration exact.
+    # Recalibrated 2026-08-19 on FOUR hardware points (Mosaic out-of-VMEM
+    # dumps + one success): 204-DoF ALL_POSSIBLE 146.32 MiB (no pairs,
+    # npairs=3408 — the live set tracks the mass-matrix TREE-PAIR count,
+    # nv + sum of per-DoF ancestor-chain lengths, NOT nv); two-fly with
+    # 49 uncompressed capsule-capsule rows 152.45 MiB (pair rows hold
+    # two-body Jacobians over BOTH flies' path-DoF unions — ~1.1 MiB of
+    # register pressure per row, 10x a ground row); two-fly 55x55
+    # compressed 248.96 MiB (winner-blend rows rebuild geometry/sign
+    # masks per use — ~2.5 MiB per winner row); ALL_BIOLOGICAL compiles
+    # and runs (13.02M w/s), bounding the fit from below. Every
+    # coefficient reproduces its dump to ~2 MiB.
     n_groups, gmax, kernel_ncand = _pair_comp_shape(model)
     npairs = model.nv + sum(len(c) for c in model.dof_chains)
-    stack = 14.0 + 0.028 * npairs + 0.11 * kernel_ncand
-    # Compressed pair rows: the lazy-mask design keeps only the winner
-    # lane nominally resident, but Mosaic's register allocator measures
-    # FAR worse on real hardware — the full two-fly preset (55 groups of
-    # 55) compiled to 223.82 MiB of register spill slots (248.96 MiB
-    # total vs the 128 ceiling; 2026-08-19 OOM dump). The winner-blend
-    # geometry rebuild at each use point multiplies live ranges roughly
-    # with n_groups x gmax; calibrated on that point at ~0.044 MiB per
-    # group-member product. Small groups (the capcap goldens, group of 2)
-    # are unaffected; the oversized two-fly preset now correctly falls
-    # back to the jnp path.
+    n_ground = model.ncand - model.ncand_pair
+    if model.pair_compress and model.ncand_pair:
+        n_pair_rows, n_winner_rows = 0, n_groups
+    else:
+        n_pair_rows, n_winner_rows = model.ncand_pair, 0
+    stack = (
+        14.0
+        + 0.028 * npairs
+        + 0.11 * n_ground
+        + 1.1 * n_pair_rows
+        + 2.5 * n_winner_rows
+    )
+    # Compressed pair rows additionally peak gmax eq-mask tiles while a
+    # winner row's geometry is assembled (the per-row register pressure
+    # itself is the 2.5 MiB/winner term above).
     tile_mb = (SUBLANES * LANE * 4) / 2**20
-    nrows = max(1, 2 * (model.condim - 1))
-    stack += (gmax + 3 * nrows * n_groups) * tile_mb
-    stack += 0.044 * n_groups * gmax
+    stack += gmax * tile_mb
     n_terrain = 4 * kernel_ncand if model.has_hfield else 0
     n_in = (
         model.nq + 2 * model.nv + model.nu + model.na + n_terrain + n_groups
@@ -174,9 +177,19 @@ def _est_stream_mb(model) -> float:
     )
     # I/O part = fused estimate minus its (recalibrated) stack model.
     npairs_ = model.nv + sum(len(c) for c in model.dof_chains)
-    return 12.0 + lanes / 256.0 + (
-        _est_scoped_mb(model) - 14.0 - 0.028 * npairs_ - 0.11 * kernel_ncand
+    n_ground_ = model.ncand - model.ncand_pair
+    if model.pair_compress and model.ncand_pair:
+        np_rows_, nw_rows_ = 0, _n_groups
+    else:
+        np_rows_, nw_rows_ = model.ncand_pair, 0
+    stack_ = (
+        14.0
+        + 0.028 * npairs_
+        + 0.11 * n_ground_
+        + 1.1 * np_rows_
+        + 2.5 * nw_rows_
     )
+    return 12.0 + lanes / 256.0 + (_est_scoped_mb(model) - stack_)
 
 
 def _stream_mode(model) -> bool:
