@@ -153,12 +153,18 @@ class TestPairRowsOnTPU:
         world = FlatGroundWorld()
         world.add_fly(mkfly("lo"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
         world.add_fly(mkfly("hi"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+        # 4 body capsules -> 16 uncompressed pair rows. The previous 7-seg
+        # set (49 rows) measured 152.45 MiB of Mosaic scoped VMEM on
+        # hardware (2026-08-19 OOM dump): an uncompressed pair row holds
+        # two-body Jacobians over both flies' path-DoF unions, ~1.1 MiB of
+        # register pressure each, so 16 rows (~117 MiB est) is the
+        # in-budget stacking config.
         segs = [
             s
             for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
-            if "thorax" in s.name or "abdomen" in s.name or "head" in s.name
+            if s.name in ("c_thorax", "c_head", "c_abdomen12", "c_abdomen3")
         ]
-        world.add_fly_fly_contacts("lo", "hi", bodysegs=segs)
+        assert world.add_fly_fly_contacts("lo", "hi", bodysegs=segs) == 16
         model, state0 = world.compile()
         assert megastep_supported(model), model.ncand
 
@@ -274,32 +280,66 @@ class TestStrictModeOnTPU:
 
 
 class TestCompressedPairsOnTPU:
-    """Pair-compressed two-fly preset through the REAL Mosaic kernel: the
+    """Pair-compressed two-fly contacts through the REAL Mosaic kernel: the
     winner-blended compressed rows must compile within the model's VMEM
     limit and reproduce the jnp engine step (which re-selects winners
-    in-step) from a quiescent stacking state. NOTE: cold compile of this
-    kernel is ~15 min (275 rows, two-fly DoF union paths); the persistent
-    compilation cache (conftest) makes reruns cheap."""
+    in-step) from a quiescent stacking state.
+
+    The FULL fly-fly preset (55x55 segments -> 55 winner rows) measured
+    248.96 MiB of Mosaic scoped VMEM on hardware (2026-08-19 OOM dump,
+    223.82 MiB register spill slots) and is correctly gated OFF the
+    kernel; hardware coverage of the winner-blend path uses a 7x7 subset
+    (thorax + the six tarsal tips, the segments that actually carry a
+    stacked fly) whose 7 winner rows fit the budget (~117 MiB est)."""
+
+    @staticmethod
+    def _mkfly(name):
+        fly = Fly(name=name)
+        fly.add_joints(
+            Skeleton(
+                axis_order=AxisOrder.YPR,
+                joint_preset=JointPreset.LEGS_ONLY,
+            ),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        return fly
+
+    @classmethod
+    def _two_fly_world(cls):
+        world = FlatGroundWorld()
+        world.add_fly(
+            cls._mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0))
+        )
+        world.add_fly(
+            cls._mkfly("b"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0))
+        )
+        return world
+
+    def test_full_preset_gated_off_kernel(self):
+        # Measured on hardware: 55 winner rows compile to 248.96 MiB of
+        # scoped VMEM (vs the 128 MiB ceiling). The estimator must keep
+        # this preset on the jnp path.
+        from flygym_tpu.ops.megastep import megastep_supported
+
+        world = self._two_fly_world()
+        assert world.add_fly_fly_contacts("a", "b") == 3025
+        model, _ = world.compile()
+        assert model.pair_compress and not megastep_supported(model)
 
     def test_compressed_kernel_matches_jnp(self):
+        from flygym_tpu.anatomy import ALL_SEGMENT_NAMES, BodySegment
         from flygym_tpu.engine.step import rollout_batched
         from flygym_tpu.ops.megastep import megastep_supported
 
-        def mkfly(name):
-            fly = Fly(name=name)
-            fly.add_joints(
-                Skeleton(
-                    axis_order=AxisOrder.YPR,
-                    joint_preset=JointPreset.LEGS_ONLY,
-                ),
-                neutral_pose=KinematicPosePreset.NEUTRAL,
-            )
-            return fly
-
-        world = FlatGroundWorld()
-        world.add_fly(mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
-        world.add_fly(mkfly("b"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
-        assert world.add_fly_fly_contacts("a", "b") == 3025
+        world = self._two_fly_world()
+        segs = ["c_thorax"] + [
+            n for n in ALL_SEGMENT_NAMES if n.endswith("tarsus5")
+        ]
+        n_pairs = world.add_fly_fly_contacts(
+            "a", "b", bodysegs=[BodySegment(s) for s in segs]
+        )
+        assert n_pairs == 49
+        world._spec.options["pair_compress"] = True
         model, state0 = world.compile()
         assert model.pair_compress and megastep_supported(model)
 
