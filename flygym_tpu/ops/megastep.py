@@ -79,7 +79,62 @@ def _pair_comp_shape(model):
     return n_groups, gmax, ng + n_groups
 
 
-def _est_scoped_mb(model) -> float:
+# Headroom gate under the v5e's 128 MiB physical VMEM: models whose
+# estimate exceeds this fall back to the vmapped jnp path.
+_VMEM_GATE_MB = 118.0
+
+
+def _stack_mb(model, h0_matvec: bool) -> float:
+    """The value-stack part of the scoped-VMEM estimate (no I/O term)."""
+    n_groups, _gmax, _kernel_ncand = _pair_comp_shape(model)
+    npairs = model.nv + sum(len(c) for c in model.dof_chains)
+    n_ground = model.ncand - model.ncand_pair
+    if model.pair_compress and model.ncand_pair:
+        n_pair_rows, n_winner_rows = 0, n_groups
+    else:
+        n_pair_rows, n_winner_rows = model.ncand_pair, 0
+    pair_coef = 0.0175 if h0_matvec else 0.028
+    return (
+        14.0
+        + pair_coef * npairs
+        + 0.11 * n_ground
+        + 1.1 * n_pair_rows
+        + 2.5 * n_winner_rows
+    )
+
+
+def _use_h0_matvec(model) -> bool:
+    """Whether the kernel recovers M·x from the frozen LDL factor.
+
+    In frozen-Hessian mode the Newton loop needs the mass matrix only for
+    the matvecs Ma = M·a and Md = M·δ. When the model has NO cross-tree
+    pair rows (ncand_pair == 0), the frozen Hessian is EXACTLY
+    H0 = Mh + JᵀΣ0J + 1e-9·I (no fill-in was dropped), so
+    M·x = H0·x − Jᵀ(Σ0·(Jx)) − 1e-9·x where H0·x rides the already-live
+    LDL factor (two tree passes, see _tree_mul) and the J part reuses the
+    per-candidate direction components the line search keeps anyway. Mh
+    then dies right after the Hessian fill — the kernel's longest live
+    range — which is what lets the 204-DoF ALL_POSSIBLE tree fit VMEM.
+
+    Costs ~2x the ops per matvec (a few % of the kernel), so the mode is
+    picked only when the plain estimate would gate the model off the
+    kernel. FLYGYM_TPU_MEGASTEP_MATVEC=h0|pairs forces it for testing.
+    Strict exact-Newton re-factors H per iteration (the factor is not
+    frozen), so the identity does not apply there.
+    """
+    import os
+
+    mode = os.environ.get("FLYGYM_TPU_MEGASTEP_MATVEC", "auto")
+    if mode == "pairs":
+        return False
+    if model.solver_exact or model.ncand_pair or model.ncand == 0:
+        return False
+    if mode == "h0":
+        return True
+    return _est_scoped_mb(model, h0_matvec=False) > _VMEM_GATE_MB
+
+
+def _est_scoped_mb(model, h0_matvec: "bool | None" = None) -> float:
     """Estimated Mosaic scoped-VMEM use of the kernel, in MiB.
 
     Two parts, both measured on the two-fly pair-row model (nv=144,
@@ -109,20 +164,18 @@ def _est_scoped_mb(model) -> float:
     # masks per use — ~2.5 MiB per winner row); ALL_BIOLOGICAL compiles
     # and runs (13.02M w/s), bounding the fit from below. Every
     # coefficient reproduces its dump to ~2 MiB.
+    #
+    # H0-matvec mode (see _use_h0_matvec): Mh dies right after the
+    # Hessian fill instead of staying live across the whole Newton loop
+    # (the kernel's longest live range: one lane per tree pair, plus its
+    # share of Mosaic register-allocator pressure). The reduced
+    # coefficient is PROVISIONAL pending a hardware measurement of the
+    # 204-DoF kernel in this mode; if the compile still overruns, the
+    # model gates back to the jnp path exactly as before.
+    if h0_matvec is None:
+        h0_matvec = _use_h0_matvec(model)
+    stack = _stack_mb(model, h0_matvec=h0_matvec)
     n_groups, gmax, kernel_ncand = _pair_comp_shape(model)
-    npairs = model.nv + sum(len(c) for c in model.dof_chains)
-    n_ground = model.ncand - model.ncand_pair
-    if model.pair_compress and model.ncand_pair:
-        n_pair_rows, n_winner_rows = 0, n_groups
-    else:
-        n_pair_rows, n_winner_rows = model.ncand_pair, 0
-    stack = (
-        14.0
-        + 0.028 * npairs
-        + 0.11 * n_ground
-        + 1.1 * n_pair_rows
-        + 2.5 * n_winner_rows
-    )
     # Compressed pair rows additionally peak gmax eq-mask tiles while a
     # winner row's geometry is assembled (the per-row register pressure
     # itself is the 2.5 MiB/winner term above).
@@ -176,20 +229,10 @@ def _est_stream_mb(model) -> float:
         + 38 * kernel_ncand
     )
     # I/O part = fused estimate minus its (recalibrated) stack model.
-    npairs_ = model.nv + sum(len(c) for c in model.dof_chains)
-    n_ground_ = model.ncand - model.ncand_pair
-    if model.pair_compress and model.ncand_pair:
-        np_rows_, nw_rows_ = 0, _n_groups
-    else:
-        np_rows_, nw_rows_ = model.ncand_pair, 0
-    stack_ = (
-        14.0
-        + 0.028 * npairs_
-        + 0.11 * n_ground_
-        + 1.1 * np_rows_
-        + 2.5 * nw_rows_
+    h0 = _use_h0_matvec(model)
+    return 12.0 + lanes / 256.0 + (
+        _est_scoped_mb(model, h0_matvec=h0) - _stack_mb(model, h0_matvec=h0)
     )
-    return 12.0 + lanes / 256.0 + (_est_scoped_mb(model) - stack_)
 
 
 def _stream_mode(model) -> bool:
@@ -420,6 +463,9 @@ class _Static:
         self.gravity = f(model.gravity)
         # Big models stream the contact section (see _emit_contacts_stream).
         self.stream = _stream_mode(model)
+        # Recover M·x from the frozen LDL factor, freeing Mh's live range
+        # (deep trees whose plain estimate would gate them off the kernel).
+        self.matvec_h0 = _use_h0_matvec(model)
 
         self.body_parent = f(model.body_parent)
         self.body_pos = f(model.body_pos)
@@ -720,8 +766,9 @@ def megastep_supported(model) -> bool:
     default two-fly preset (55 groups of 55) measured 248.96 MiB on v5e
     (223.82 MiB of register spill slots), so it is VMEM-gated to the jnp
     path; small compressed groups stay in-kernel (golden-tested with a
-    group of 2 through the emitter). Small EXPLICIT pair sets (e.g. the
-    49-row thorax-only two-fly config) run in-kernel uncompressed.
+    group of 2 through the emitter). Small EXPLICIT pair sets run
+    in-kernel uncompressed at ~1.1 MiB of register pressure per row
+    (a 49-row set measured 152.45 MiB — over budget; ~16 rows fit).
 
     The strict-parity exact-Newton mode (model.solver_exact) runs
     in-kernel: the Hessian is re-filled and re-factored from the current
@@ -738,11 +785,12 @@ def megastep_supported(model) -> bool:
     est = (
         _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
     )
-    # Headroom under the 128 MiB physical VMEM. 118 with the 2026-08-19
-    # recalibration: the estimator now reproduces the 204-DoF OOM point
-    # (136 est vs 146 measured — correctly excluded) while keeping the
-    # two-fly compressed model (est 108.9, runs on hardware) in-kernel.
-    return est <= 118.0
+    # Headroom under the 128 MiB physical VMEM (2026-08-19 recalibration;
+    # see _est_scoped_mb for the four hardware calibration points). Models
+    # with no pair rows whose plain estimate exceeds the gate get one more
+    # chance through the H0-matvec mode (_use_h0_matvec), which frees the
+    # Mh live range; _est_scoped_mb resolves that mode automatically.
+    return est <= _VMEM_GATE_MB
 
 
 # ---------------------------------------------------------------------------
@@ -1795,12 +1843,54 @@ def _contacts_impl(
         H[(d, d)] = H[(d, d)] + 1e-9
     Ld, dd = _tree_ldl(st, H, z)
 
+    if st.matvec_h0:
+        # H0-matvec mode (frozen Hessian, ncand_pair == 0, see
+        # _use_h0_matvec): no fill-in was dropped, so the frozen factor
+        # satisfies H0 = Mh + JᵀΣ0J + 1e-9·I EXACTLY and
+        # M·x = H0·x − Jᵀ(D·m0·(Jx)) − 1e-9·x. Mh's live range ends at
+        # the fill above; only the Σ0 activity masks m0 (nrows lanes per
+        # candidate) persist. fp note: this reassociates M·x vs Mh_mul
+        # (tested ~1e-5 relative); the line search feeds back only the
+        # sign of φ′, so trajectories stay within kernel-vs-jnp bands.
+        for c in cons:
+            c["m0"] = [
+                jnp.where(jr < 0.0, 1.0, 0.0) for jr in c["jar_cur"]
+            ]
+
+        def M_mul(x):
+            out = _tree_mul(st, Ld, dd, x)
+            for c in cons:
+                comps = get_comps(c)
+                rows = row_combos(c, products(c, comps, x))
+                wk0 = [c["D"] * m_ * r_ for m_, r_ in zip(c["m0"], rows)]
+                if st.condim == 1:
+                    coef = {"n": wk0[0]}
+                else:
+                    coef_n = z
+                    for w_ in wk0:
+                        coef_n = coef_n + w_
+                    coef = {"n": coef_n}
+                    for ti, t in enumerate(tags):
+                        coef[t] = mu_of(c, t) * (
+                            wk0[2 * ti] - wk0[2 * ti + 1]
+                        )
+                for i, d in enumerate(c["path"]):
+                    g = None
+                    for t, cf in coef.items():
+                        g = _acc(g, _mul_cf(comps[t][i], cf))
+                    if g is not None:
+                        out[d] = out[d] - g
+            return [out[d] - 1e-9 * x[d] for d in range(nv)]
+
+    else:
+        M_mul = Mh_mul
+
     # ---- Newton refinements (default: frozen Hessian; strict mode
     # (st.solver_exact) re-fills + re-factors the Hessian from the CURRENT
     # active set each iteration, matching the engine's exact-Newton path
     # (engine/contact.py _solve_primal_newton) — bisection/regula-falsi
     # line search, the engine's _exact_linesearch schedule) ----
-    Ma = Mh_mul(a_vec)
+    Ma = M_mul(a_vec)
     for it in range(max(st.solver_iterations, 1)):
         if it > 0:
             grad_con = [z] * nv
@@ -1821,7 +1911,7 @@ def _contacts_impl(
         delta = _tree_solve(st, Ld, dd, grad)
         delta = [-x for x in delta]
 
-        Md = Mh_mul(delta)
+        Md = M_mul(delta)
         dMd = z
         gMd = z
         for d in range(nv):
@@ -1935,6 +2025,30 @@ def _tree_ldl(st, A, z):
                 k = key(a_, b_)
                 A[k] = A[k] - lis[b_] * ra
     return L, dvec
+
+
+def _tree_mul(st, L, dvec, x):
+    """Multiply by the FACTORED matrix: H·x using only (L, d).
+
+    _tree_solve computes H⁻¹b as M2·D⁻¹·M1·b (two unit-triangular tree
+    passes around the diagonal scale), so H·x = M1⁻¹·D·M2⁻¹·x — the same
+    two passes with inverted elementary ops applied in reverse order.
+    2·|pair_keys| madds + nv multiplies; no residency beyond the factor
+    (which the Newton loop keeps live anyway).
+    """
+    y = list(x)
+    for i in st.elim_order:  # M2⁻¹: leaf-to-root, read-ancestors/write-self
+        acc = y[i]
+        for a_ in st.dof_chains[i]:
+            acc = acc + L[(a_, i)] * y[a_]
+        y[i] = acc
+    for i in range(st.nv):
+        y[i] = y[i] * dvec[i]
+    for i in reversed(st.elim_order):  # M1⁻¹: root-to-leaf, write-ancestors
+        yi = y[i]
+        for a_ in st.dof_chains[i]:
+            y[a_] = y[a_] + L[(a_, i)] * yi
+    return y
 
 
 def _tree_solve(st, L, dvec, b):

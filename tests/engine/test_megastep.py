@@ -524,8 +524,12 @@ def stacked():
     world = FlatGroundWorld()
     world.add_fly(mkfly("lo"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
     world.add_fly(mkfly("hi"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
-    # Narrow pair set (body trunks only) so the kernel stays below its
-    # candidate budget; the jnp path uses the same table.
+    # Narrow pair set (body trunks only). NOTE: even this 49-row set is
+    # VMEM-gated off the real Mosaic kernel (measured 152.45 MiB on v5e,
+    # 2026-08-19 — ~1.1 MiB of register pressure per uncompressed pair
+    # row); the EMITTER math tested here is budget-independent (eager on
+    # (B,) lane vectors), and tests/tpu covers an in-budget 16-row config
+    # through the compiled kernel.
     segs = [
         s
         for s in ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD.to_body_segments_list()
@@ -534,10 +538,8 @@ def stacked():
     n = world.add_fly_fly_contacts("lo", "hi", bodysegs=segs)
     assert n > 0
     model, state0 = world.compile()
-    from flygym_tpu.ops.megastep import megastep_supported
 
     assert model.ncand_pair == n
-    assert megastep_supported(model), model.ncand
     # Drop "hi" onto "lo" so pair rows are ACTIVE in the settled state.
     ctrl = jnp.zeros((model.nu,), jnp.float32)
     bstate = _batched_state(model, state0, n_steps=250, ctrl=ctrl)
@@ -732,13 +734,14 @@ class TestConstFoldedQuatHelpers:
 
 class TestVmemGate:
     """The scoped-VMEM estimator gate (recalibrated 2026-08-19): the
-    204-DoF ALL_POSSIBLE preset measured 146.32 MiB on v5e — past the
-    128 MiB ceiling — so it must NOT be kernel-eligible (it silently
-    rode the kernel before the recalibration and OOM'd at compile);
-    the smaller presets and the compressed two-fly model must stay
-    in-kernel. The estimator tracks mass-matrix TREE PAIRS, not nv."""
+    204-DoF ALL_POSSIBLE preset measured 146.32 MiB on v5e with Mh
+    resident — past the 128 MiB ceiling (it silently rode the kernel
+    before the recalibration and OOM'd at compile). The H0-matvec mode
+    frees Mh's live range after the Hessian fill, which brings the deep
+    tree back under the gate; small presets keep the cheaper pairs
+    matvec. The estimator tracks mass-matrix TREE PAIRS, not nv."""
 
-    def test_all_possible_gated_to_jnp(self):
+    def test_all_possible_gating_modes(self):
         from flygym_tpu.anatomy import JointPreset, Skeleton
         from flygym_tpu.compose import Fly, FlatGroundWorld, KinematicPosePreset
         from flygym_tpu.utils.math import Rotation3D
@@ -756,6 +759,76 @@ class TestVmemGate:
         assert ms.megastep_supported(model_for(JointPreset.LEGS_ONLY))
         assert ms.megastep_supported(model_for(JointPreset.ALL_BIOLOGICAL))
         m_ap = model_for(JointPreset.ALL_POSSIBLE)
-        assert not ms.megastep_supported(m_ap)
-        # The estimate reproduces the measured hardware OOM point (~146 MiB).
-        assert 125.0 < ms._est_scoped_mb(m_ap) < 160.0
+        # The PLAIN (Mh-resident) estimate reproduces the measured
+        # hardware OOM point (~146 MiB) — over the gate...
+        assert 125.0 < ms._est_scoped_mb(m_ap, h0_matvec=False) < 160.0
+        assert ms._est_scoped_mb(m_ap, h0_matvec=False) > ms._VMEM_GATE_MB
+        # ...so auto mode picks the H0 matvec (Mh freed after the fill),
+        # which brings the deep tree back under the gate.
+        assert ms._use_h0_matvec(m_ap)
+        assert ms._est_scoped_mb(m_ap) <= ms._VMEM_GATE_MB
+        assert ms.megastep_supported(m_ap)
+        # Small models keep the cheaper pairs matvec.
+        assert not ms._use_h0_matvec(model_for(JointPreset.LEGS_ONLY))
+
+
+class TestH0Matvec:
+    """The H0-matvec mode (M·x recovered from the frozen LDL factor,
+    freeing Mh's live range — what fits the 204-DoF tree in VMEM) must be
+    numerically equivalent to the explicit pairs matvec: the identity
+    M = H0 − JᵀΣ0J − 1e-9·I is exact when no cross-tree fill is dropped,
+    so only fp reassociation separates the two (measured ~2e-6 relative
+    on a settled state)."""
+
+    def test_tree_mul_inverts_tree_solve(self):
+        rng = np.random.RandomState(0)
+        nv = 9
+        parent = [-1, 0, 1, 1, 0, 4, 4, 6, 6]
+        chains = []
+        for d in range(nv):
+            ch, p = [], parent[d]
+            while p >= 0:
+                ch.append(p)
+                p = parent[p]
+            chains.append(ch)
+
+        class St:
+            pass
+
+        st = St()
+        st.nv = nv
+        st.dof_chains = chains
+        st.elim_order = sorted(range(nv), key=lambda d: -len(chains[d]))
+        A = {}
+        dense = np.zeros((nv, nv))
+        for d in range(nv):
+            A[(d, d)] = jnp.asarray(3.0 + rng.rand())
+            dense[d, d] = float(A[(d, d)])
+            for a in chains[d]:
+                v = rng.randn() * 0.3
+                A[(a, d)] = jnp.asarray(v)
+                dense[a, d] = dense[d, a] = v
+        z = jnp.asarray(0.0)
+        L, dvec = ms._tree_ldl(st, A, z)
+        x = rng.randn(nv)
+        want = dense @ x
+        got = ms._tree_mul(st, L, dvec, [jnp.asarray(v) for v in x])
+        np.testing.assert_allclose(
+            np.array([float(g) for g in got]), want, atol=1e-5
+        )
+
+    def test_emitter_h0_matches_pairs_matvec(self, settled, monkeypatch):
+        model, bstate = settled
+
+        def run(mode):
+            monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_MATVEC", mode)
+            return _emit_batched(model, bstate)
+
+        r_pairs = run("pairs")
+        r_h0 = run("h0")
+        for k, rel in (("qpos", 1e-7), ("qvel", 1e-5), ("qacc", 1e-4)):
+            a = np.asarray(r_pairs[k])
+            b = np.asarray(r_h0[k])
+            scale = max(float(np.abs(a).max()), 1e-9)
+            assert np.abs(a - b).max() <= rel * scale, (
+                k, np.abs(a - b).max(), scale)
