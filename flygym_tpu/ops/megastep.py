@@ -2496,7 +2496,8 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
 
 
 def make_megastep_sharded(
-    model, mesh, world_axis, state_template, interpret: bool = False
+    model, mesh, world_axis, state_template, interpret: bool = False,
+    k_steps: int = 1,
 ):
     """Mesh-sharded mega-step: shard_map of the kernel over the world axis.
 
@@ -2515,19 +2516,36 @@ def make_megastep_sharded(
             the leading world axis, used to plan the empty-leaf routing.
         interpret: run the kernel through the Pallas interpreter (CPU
             meshes / CI). The result is left unjitted in interpret mode.
+        k_steps: K-step fusion (``make_megastep(model, k_steps=K)``) under
+            the same shard_map: each device runs K physics steps per kernel
+            launch on its shard. For K>1 the returned function has the
+            K-kernel signature ``fn(state, ctrl_seq, terrain_planes=None)``
+            with ``ctrl_seq`` (K, B, nu) sharded on the WORLD axis (dim 1),
+            and returns ``(new_state, qpos_traj)`` with the (K, B, nq)
+            trajectory likewise world-sharded on dim 1.
     """
     from jax.sharding import PartitionSpec as P
 
-    raw = make_megastep(model, interpret=interpret, jit=False)
+    K = int(k_steps)
+    raw = make_megastep(model, interpret=interpret, jit=False, k_steps=K)
     spec = P(world_axis)
+    nu = int(model.nu)
 
     in_leaves, in_tree = jax.tree.flatten(state_template)
     in_empty = [int(np.prod(l.shape)) == 0 for l in in_leaves]
-    out_template = jax.eval_shape(raw, state_template)
-    out_leaves_t, out_tree = jax.tree.flatten(out_template)
+    B_tpl = in_leaves[0].shape[0]
+    if K > 1:
+        ctrl_tpl = jax.ShapeDtypeStruct((K, B_tpl, nu), jnp.float32)
+        out_state_t = jax.eval_shape(
+            lambda s, c: raw(s, c)[0], state_template, ctrl_tpl
+        )
+    else:
+        out_state_t = jax.eval_shape(raw, state_template)
+    out_leaves_t, out_tree = jax.tree.flatten(out_state_t)
     out_empty = [int(np.prod(l.shape)) == 0 for l in out_leaves_t]
+    ctrl_empty = nu == 0
 
-    def _core(planes, *nonempty):
+    def _core(planes, ctrl_seq, *nonempty):
         it = iter(nonempty)
         b_shard = nonempty[0].shape[0]
         full = [
@@ -2536,38 +2554,49 @@ def make_megastep_sharded(
             else next(it)
             for l, e in zip(in_leaves, in_empty)
         ]
-        out = raw(jax.tree.unflatten(in_tree, full), planes)
-        return tuple(
+        st = jax.tree.unflatten(in_tree, full)
+        if K > 1:
+            if ctrl_seq is None:  # nu == 0: rebuild the empty slices
+                ctrl_seq = jnp.zeros((K, b_shard, 0), jnp.float32)
+            out, traj = raw(st, ctrl_seq, planes)
+            extra = (traj,)
+        else:
+            out = raw(st, planes)
+            extra = ()
+        return extra + tuple(
             l for l, e in zip(jax.tree.leaves(out), out_empty) if not e
         )
 
     n_in = sum(1 for e in in_empty if not e)
     n_out = sum(1 for e in out_empty if not e)
+    # ctrl_seq (K, B, nu) and qpos_traj (K, B, nq) carry the world axis on
+    # dim 1; everything else on dim 0.
+    spec_kmaj = P(None, world_axis)
+    ctrl_specs = () if (K == 1 or ctrl_empty) else (spec_kmaj,)
+    traj_specs = () if K == 1 else (spec_kmaj,)
     sharded_core = jax.shard_map(
-        lambda *ne: _core(None, *ne),
+        (lambda *ne: _core(None, None, *ne))
+        if not ctrl_specs
+        else (lambda c, *ne: _core(None, c, *ne)),
         mesh=mesh,
-        in_specs=(spec,) * n_in,
-        out_specs=(spec,) * n_out,
+        in_specs=ctrl_specs + (spec,) * n_in,
+        out_specs=traj_specs + (spec,) * n_out,
         check_vma=False,
     )
     # Variant with precomputed terrain planes threaded through (sharded over
     # worlds like everything else) — used by rollout_batched's K-step
     # terrain-resampling path.
     sharded_core_planes = jax.shard_map(
-        _core,
+        (lambda p, *ne: _core(p, None, *ne))
+        if not ctrl_specs
+        else (lambda p, c, *ne: _core(p, c, *ne)),
         mesh=mesh,
-        in_specs=(spec,) * (n_in + 1),
-        out_specs=(spec,) * n_out,
+        in_specs=(spec,) + ctrl_specs + (spec,) * n_in,
+        out_specs=traj_specs + (spec,) * n_out,
         check_vma=False,
     )
 
-    def megastep_sharded(state, terrain_planes=None):
-        leaves = jax.tree.leaves(state)
-        nonempty = tuple(l for l, e in zip(leaves, in_empty) if not e)
-        if terrain_planes is None:
-            nonempty_out = sharded_core(*nonempty)
-        else:
-            nonempty_out = sharded_core_planes(terrain_planes, *nonempty)
+    def _unpack_state(nonempty_out):
         it = iter(nonempty_out)
         out_leaves = [
             jnp.zeros(t.shape, t.dtype) if e else next(it)
@@ -2575,15 +2604,56 @@ def make_megastep_sharded(
         ]
         return jax.tree.unflatten(out_tree, out_leaves)
 
+    if K == 1:
+
+        def megastep_sharded(state, terrain_planes=None):
+            leaves = jax.tree.leaves(state)
+            nonempty = tuple(l for l, e in zip(leaves, in_empty) if not e)
+            if terrain_planes is None:
+                nonempty_out = sharded_core(*nonempty)
+            else:
+                nonempty_out = sharded_core_planes(terrain_planes, *nonempty)
+            return _unpack_state(nonempty_out)
+
+    else:
+
+        def megastep_sharded(state, ctrl_seq, terrain_planes=None):
+            leaves = jax.tree.leaves(state)
+            nonempty = tuple(l for l, e in zip(leaves, in_empty) if not e)
+            cargs = () if ctrl_empty else (ctrl_seq,)
+            if terrain_planes is None:
+                out = sharded_core(*cargs, *nonempty)
+            else:
+                out = sharded_core_planes(terrain_planes, *cargs, *nonempty)
+            new_state = _unpack_state(out[1:])
+            # Match the unsharded K-kernel's contract: ctrl after the chunk
+            # is the last commanded slice (shard_map sees only padded zeros
+            # for empty leaves; rebuild ctrl host-side like the other
+            # routed-around leaves).
+            import dataclasses
+
+            new_state = dataclasses.replace(
+                new_state,
+                ctrl=state.ctrl if ctrl_empty else ctrl_seq[-1],
+            )
+            return new_state, out[0]
+
     if interpret:
         fn = megastep_sharded
-    else:
+    elif K == 1:
         jitted = jax.jit(megastep_sharded)
 
         def fn(state, terrain_planes=None):
             return jitted(state, terrain_planes)
 
+    else:
+        jitted = jax.jit(megastep_sharded)
+
+        def fn(state, ctrl_seq, terrain_planes=None):
+            return jitted(state, ctrl_seq, terrain_planes)
+
     # Plane sampling is plain jnp OUTSIDE shard_map: under the caller's jit,
     # GSPMD propagates the world sharding through it automatically.
     fn.sample_planes = raw.sample_planes
+    fn.k_steps = K
     return fn

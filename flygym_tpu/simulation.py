@@ -193,9 +193,10 @@ class Simulation:
         (``make_megastep(model, k_steps=K)``): the K-1 intermediate steps
         skip the HBM round trip, launch overhead, and output sections.
         K comes from FLYGYM_TPU_MEGASTEP_K (default 8; 0/1 disables);
-        disabled when n_steps is not a multiple of K, on mesh-sharded runs
-        (the sharded K-kernel is not wired yet), or when the mega-kernel
-        itself is off.
+        disabled when n_steps is not a multiple of K or when the
+        mega-kernel itself is off. Mesh-sharded runs wrap the K-kernel in
+        the same shard_map as the single-step kernel
+        (``make_megastep_sharded(..., k_steps=K)``).
         """
         import os
 
@@ -203,15 +204,26 @@ class Simulation:
             self._megastep, "interpret_mode", False
         ):
             return None
-        if getattr(self, "_mesh", None) is not None:
-            return None
         K = int(os.environ.get("FLYGYM_TPU_MEGASTEP_K", "8"))
         if K <= 1 or n_steps % K != 0:
             return None
         if self._megastep_k_fn is None or self._megastep_k_fn.k_steps != K:
-            from flygym_tpu.ops.megastep import make_megastep
+            from flygym_tpu.ops.megastep import (
+                make_megastep,
+                make_megastep_sharded,
+            )
 
-            self._megastep_k_fn = make_megastep(self.model, k_steps=K)
+            mesh = getattr(self, "_mesh", None)
+            if mesh is not None:
+                self._megastep_k_fn = make_megastep_sharded(
+                    self.model,
+                    mesh,
+                    self._world_axis,
+                    self._initial_batch_state,
+                    k_steps=K,
+                )
+            else:
+                self._megastep_k_fn = make_megastep(self.model, k_steps=K)
         return self._megastep_k_fn
 
     def rollout(

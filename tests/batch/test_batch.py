@@ -337,3 +337,60 @@ class TestShardedKernelRealEmitter:
         # fell.
         z = np.asarray(s_a.qpos[:, 2])
         assert z[0] > 0.75 and z[-1] < 1.2
+
+    def test_sharded_kstep_kernel_matches_sequential(self):
+        """The K-step fused kernel under shard_map (the multi-chip rollout
+        fast path, simulation._get_megastep_k on meshes): one sharded
+        K=4 launch must equal 4 sequential unsharded kernel steps, with
+        the (K, B, nq) trajectory world-sharded on dim 1."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from flygym_tpu.engine.model import make_initial_state
+        from flygym_tpu.ops import megastep as ms
+        from flygym_tpu.parallel import make_world_mesh
+        from tests.engine.test_stress_golden import _capsule_spec
+
+        devices = jax.devices()
+        if len(devices) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        model = _capsule_spec(drop_z=0.9).compile().model
+        state0 = make_initial_state(model)
+        B, K = 16, 4
+        bstate = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)),
+            state0,
+        )
+        bstate = dataclasses.replace(
+            bstate, qpos=bstate.qpos.at[:, 2].set(jnp.linspace(0.78, 1.2, B))
+        )
+        ctrl_seq = jnp.broadcast_to(
+            bstate.ctrl[None], (K,) + bstate.ctrl.shape
+        )
+
+        mesh = make_world_mesh(devices[:8])
+        kern_k = ms.make_megastep_sharded(
+            model, mesh, "world", bstate, interpret=True, k_steps=K
+        )
+        assert kern_k.k_steps == K
+        kern_1 = ms.make_megastep(model, interpret=True, jit=False)
+
+        s_k, traj = kern_k(bstate, ctrl_seq)
+        s_ref = bstate
+        ref_traj = []
+        for _ in range(K):
+            s_ref = kern_1(s_ref)
+            ref_traj.append(np.asarray(s_ref.qpos))
+
+        np.testing.assert_allclose(
+            np.asarray(s_k.qpos), np.asarray(s_ref.qpos), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_k.qvel), np.asarray(s_ref.qvel), atol=1e-5
+        )
+        assert traj.shape == (K, B, model.nq)
+        np.testing.assert_allclose(
+            np.asarray(traj), np.stack(ref_traj), atol=1e-6
+        )

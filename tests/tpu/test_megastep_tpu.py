@@ -364,3 +364,69 @@ class TestCompressedPairsOnTPU:
         # Fly b is SUPPORTED by compressed fly-fly rows, not fallen through.
         zb = float(got_q[0, model.free_joints[1][1] + 2])
         assert zb > 1.0, zb
+
+
+class TestShardedKernelOnTPU:
+    """make_megastep_sharded on a REAL (1-device) TPU mesh: the jitted
+    shard_map wrapping must Mosaic-compile and match the unsharded kernel,
+    in both single-step and K-fused forms (the multi-chip rollout path)."""
+
+    @pytest.fixture(scope="class")
+    def capsule_setup(self):
+        from flygym_tpu.engine.model import make_initial_state
+        from flygym_tpu.parallel import make_world_mesh
+        from tests.engine.test_stress_golden import _capsule_spec
+
+        model = _capsule_spec(drop_z=0.9).compile().model
+        state0 = make_initial_state(model)
+        Bk = 16
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (Bk,) + jnp.shape(x)),
+            state0,
+        )
+        bstate = dataclasses.replace(
+            bstate, qpos=bstate.qpos.at[:, 2].set(jnp.linspace(0.78, 1.2, Bk))
+        )
+        mesh = make_world_mesh(jax.devices()[:1])
+        return model, bstate, mesh
+
+    def test_sharded_matches_unsharded(self, capsule_setup):
+        from flygym_tpu.ops.megastep import make_megastep, make_megastep_sharded
+
+        model, bstate, mesh = capsule_setup
+        kern_s = make_megastep_sharded(model, mesh, "world", bstate)
+        kern_u = make_megastep(model)
+        s_a, s_b = kern_s(bstate), kern_u(bstate)
+        np.testing.assert_allclose(
+            np.asarray(s_a.qpos), np.asarray(s_b.qpos), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_a.qvel), np.asarray(s_b.qvel), atol=1e-5
+        )
+
+    def test_sharded_kstep_matches_sequential(self, capsule_setup):
+        from flygym_tpu.ops.megastep import make_megastep, make_megastep_sharded
+
+        model, bstate, mesh = capsule_setup
+        K = 4
+        kern_k = make_megastep_sharded(
+            model, mesh, "world", bstate, k_steps=K
+        )
+        kern_1 = make_megastep(model)
+        ctrl_seq = jnp.broadcast_to(
+            bstate.ctrl[None], (K,) + bstate.ctrl.shape
+        )
+        s_k, traj = kern_k(bstate, ctrl_seq)
+        s_ref = bstate
+        for _ in range(K):
+            s_ref = kern_1(s_ref)
+        np.testing.assert_allclose(
+            np.asarray(s_k.qpos), np.asarray(s_ref.qpos), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_k.qvel), np.asarray(s_ref.qvel), atol=1e-3
+        )
+        assert traj.shape == (K, bstate.qpos.shape[0], model.nq)
+        np.testing.assert_allclose(
+            np.asarray(traj[-1]), np.asarray(s_k.qpos), atol=1e-6
+        )
