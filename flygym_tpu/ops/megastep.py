@@ -79,9 +79,155 @@ def _pair_comp_shape(model):
     return n_groups, gmax, ng + n_groups
 
 
+def _pair_group_specs(model, validate=True):
+    """Static spec per compressed pair group (pair_compress models).
+
+    Each group collapses a contiguous run of capsule-capsule candidate rows
+    sharing one geom1 into ONE kernel row whose geom2 is the group's runtime
+    winner (out-of-kernel argmin, K-chunk-stale). Returns (specs, keep):
+
+    - specs[g]: dict with ``row0`` (representative model row), ``members``
+      ([(geom2, body2)]), ``invw``/``r2``/``h2`` (per-member scalars the
+      winner selects among), ``dof_sign_spec`` ({dof: "all" | member-index
+      runs} over the geom2 union), ``listed`` (sorted UNIQUE runs — one
+      sign-mask row each; DoFs on the same body path share a row),
+      ``dof_sign_idx`` ({run-listed dof: row index into listed}), and
+      ``n_rows`` = members + unique runs + 3 scalar mask-input rows.
+    - keep: model-row -> kernel-row selection (ground rows + one per group).
+
+    ``validate=False`` skips the param/tree invariant raises (used by the
+    VMEM estimator, which must stay total on any model; the invariants are
+    enforced when the kernel is actually built).
+    """
+    if not (model.pair_compress and model.ncand_pair):
+        return [], None
+    body_parent = np.asarray(model.body_parent)
+    hinge_body = np.asarray(model.hinge_body)
+    hinge_vadr = np.asarray(model.hinge_vadr)
+    body_dofs = {b: [] for b in range(model.nbody)}
+    for h in range(model.nhinge):
+        body_dofs[int(hinge_body[h])].append(int(hinge_vadr[h]))
+    for b, _qa, va in model.free_joints:
+        body_dofs[b] = list(range(va, va + 6))
+
+    def path_dofs(b):
+        out = set()
+        while b != 0:
+            out.update(body_dofs[b])
+            b = int(body_parent[b])
+        return out
+
+    can_geom = np.asarray(model.can_geom)
+    can_geom2 = np.asarray(model.can_geom2)
+    can_body = np.asarray(model.can_body)
+    can_body2 = np.asarray(model.can_body2)
+    can_friction = np.asarray(model.can_friction)
+    can_solref = np.asarray(model.can_solref)
+    can_solimp = np.asarray(model.can_solimp)
+    can_margin = np.asarray(model.can_margin)
+    can_invweight = np.asarray(model.can_invweight)
+    geom_size = np.asarray(model.geom_size)
+
+    ng = model.ncand - model.ncand_pair
+    keep = list(range(ng))
+    specs = []
+    for start, size in model.pair_groups:
+        rows = [ng + start + j for j in range(size)]
+        r0 = rows[0]
+        if validate:
+            for r in rows[1:]:
+                # spec.compile() splits groups on geom1/param boundaries;
+                # real raises (not asserts) so the invariant survives
+                # ``python -O``.
+                if int(can_geom[r]) != int(can_geom[r0]):
+                    raise FlyGymInternalError("pair group mixes geom1")
+                if not (
+                    np.array_equal(can_friction[r], can_friction[r0])
+                    and np.array_equal(can_solref[r], can_solref[r0])
+                    and np.array_equal(can_solimp[r], can_solimp[r0])
+                    and can_margin[r] == can_margin[r0]
+                ):
+                    raise FlyGymInternalError("pair group mixes contact params")
+        members = [(int(can_geom2[r]), int(can_body2[r])) for r in rows]
+        # Per-DoF sign spec over the group's geom2 union: "all" (every
+        # member moves this DoF — free/root joints — so the sign is the
+        # STATIC -1 of an ordinary two-body row) or a tuple of contiguous
+        # member-index runs, from which the winner mask is built.
+        member_dofs = [path_dofs(b2) for _g2, b2 in members]
+        dof_members = {}
+        for j, dofs in enumerate(member_dofs):
+            for d in dofs:
+                dof_members.setdefault(d, []).append(j)
+        g1_path = path_dofs(int(can_body[r0]))
+        dof_sign_spec = {}
+        for d, js in sorted(dof_members.items()):
+            if d in g1_path:
+                if validate:
+                    # spec.compile() clears pair_compress for same-tree
+                    # pairs; raise (not assert) if one slips through.
+                    raise FlyGymInternalError(
+                        "pair group geom2 shares DoFs with geom1 (same "
+                        "kinematic tree) — compression assumes disjoint "
+                        "trees (fly-fly contacts)"
+                    )
+                continue
+            if len(js) == size:
+                dof_sign_spec[d] = "all"
+                continue
+            runs = []
+            lo = prev = js[0]
+            for j in js[1:]:
+                if j == prev + 1:
+                    prev = j
+                    continue
+                runs.append((lo, prev))
+                lo = prev = j
+            runs.append((lo, prev))
+            dof_sign_spec[d] = tuple(runs)
+        # Sign rows are keyed by DISTINCT runs, not per DoF: every DoF on
+        # the same body path sees the same member subtree, so e.g. a
+        # coxa's three DoFs (and every more-proximal DoF of the same leg)
+        # share one mask row. ``listed`` holds the unique runs in sorted
+        # order; ``dof_sign_idx`` maps each run-listed DoF to its row.
+        listed = sorted({s for s in dof_sign_spec.values() if s != "all"})
+        run_idx = {runs: k for k, runs in enumerate(listed)}
+        dof_sign_idx = {
+            d: run_idx[s]
+            for d, s in dof_sign_spec.items()
+            if s != "all"
+        }
+        specs.append(
+            dict(
+                row0=r0,
+                members=members,
+                invw=[float(can_invweight[r, 0]) for r in rows],
+                r2=[float(geom_size[g2, 0]) for g2, _b2 in members],
+                h2=[float(geom_size[g2, 1]) for g2, _b2 in members],
+                dof_sign_spec=dof_sign_spec,
+                listed=listed,
+                dof_sign_idx=dof_sign_idx,
+                n_rows=len(members) + len(listed) + 3,
+            )
+        )
+        keep.append(r0)
+    return specs, np.asarray(keep, np.int64)
+
+
+def _pair_mask_rows(model) -> int:
+    """Total winner-mask aux input rows (see _pair_group_specs.n_rows)."""
+    specs, _keep = _pair_group_specs(model, validate=False)
+    return sum(g["n_rows"] for g in specs)
+
+
 # Headroom gate under the v5e's 128 MiB physical VMEM: models whose
-# estimate exceeds this fall back to the vmapped jnp path.
-_VMEM_GATE_MB = 118.0
+# estimate exceeds this fall back to the vmapped jnp path. Raised
+# 118 -> 124 on 2026-08-20 with the FIFTH hardware calibration point (the
+# 204-DoF H0-matvec kernel: 107.48 MiB of register spill slots measured
+# from its 4096-world K=8 OOM dump; B=128 K=1 compiled and ran)
+# — each per-row-class coefficient now reproduces its dump to ~2 MiB, so
+# 4 MiB of physical headroom covers the estimator error; rollout K
+# selection is VMEM-aware against the same gate (_get_megastep_k).
+_VMEM_GATE_MB = 124.0
 
 
 def _stack_mb(model, h0_matvec: bool) -> float:
@@ -93,13 +239,24 @@ def _stack_mb(model, h0_matvec: bool) -> float:
         n_pair_rows, n_winner_rows = 0, n_groups
     else:
         n_pair_rows, n_winner_rows = model.ncand_pair, 0
-    pair_coef = 0.0175 if h0_matvec else 0.028
+    # h0 coefficient measured 2026-08-20 on the 204-DoF ALL_POSSIBLE
+    # kernel's OOM dump (107.48 MiB spill at npairs=3408, n_ground=110,
+    # K=8 — the fori carry is inside the measurement, so no separate
+    # K-carry term): (107.48 - 14 - 0.11*110) / 3408 = 0.0239.
+    pair_coef = 0.0239 if h0_matvec else 0.028
+    # Winner rows: 2.5 MiB/row measured 2026-08-19 with IN-KERNEL mask
+    # rebuilds (55x55 preset, 248.96 MiB of which 223.82 register spill).
+    # With masks precomputed out of the kernel and read lazily (2026-08-20
+    # redesign) a winner row holds the same live state as an ordinary
+    # two-body pair row whose comps stream — PROVISIONAL 1.2 MiB/row
+    # pending a hardware measurement (scripts/dev/measure_kernel_vmem.py
+    # on the 55x55 preset); recalibrate this coefficient from that dump.
     return (
         14.0
         + pair_coef * npairs
         + 0.11 * n_ground
         + 1.1 * n_pair_rows
-        + 2.5 * n_winner_rows
+        + 1.2 * n_winner_rows
     )
 
 
@@ -134,8 +291,15 @@ def _use_h0_matvec(model) -> bool:
     return _est_scoped_mb(model, h0_matvec=False) > _VMEM_GATE_MB
 
 
-def _est_scoped_mb(model, h0_matvec: "bool | None" = None) -> float:
+def _est_scoped_mb(
+    model, h0_matvec: "bool | None" = None, k_steps: int = 1
+) -> float:
     """Estimated Mosaic scoped-VMEM use of the kernel, in MiB.
+
+    ``k_steps`` models the K-step fused kernel's extra double-buffered I/O
+    tiles: (K-1)*nu additional ctrl input rows and (K-1)*nq qpos-trajectory
+    output rows (the fori-loop carry is folded into the calibrated stack
+    coefficients — the 204-DoF dump was measured at K=8).
 
     Two parts, both measured on the two-fly pair-row model (nv=144,
     ncand≈270, n_in=446, n_out=1611):
@@ -175,18 +339,24 @@ def _est_scoped_mb(model, h0_matvec: "bool | None" = None) -> float:
     if h0_matvec is None:
         h0_matvec = _use_h0_matvec(model)
     stack = _stack_mb(model, h0_matvec=h0_matvec)
-    n_groups, gmax, kernel_ncand = _pair_comp_shape(model)
-    # Compressed pair rows additionally peak gmax eq-mask tiles while a
-    # winner row's geometry is assembled (the per-row register pressure
-    # itself is the 2.5 MiB/winner term above).
-    tile_mb = (SUBLANES * LANE * 4) / 2**20
-    stack += gmax * tile_mb
+    n_groups, _gmax, kernel_ncand = _pair_comp_shape(model)
+    # Compressed pair rows read their winner masks lazily from input rows
+    # (one-hot eq + per-listed-DoF signs + 3 winner scalars per group,
+    # expanded out-of-kernel) — they cost input-block I/O, not stack.
     n_terrain = 4 * kernel_ncand if model.has_hfield else 0
+    n_wmask = _pair_mask_rows(model) if n_groups else 0
+    K = int(k_steps)
     n_in = (
-        model.nq + 2 * model.nv + model.nu + model.na + n_terrain + n_groups
+        model.nq
+        + 2 * model.nv
+        + K * model.nu
+        + model.na
+        + n_terrain
+        + n_wmask
     )
     n_out = (
-        model.nq
+        (K - 1) * model.nq
+        + model.nq
         + 2 * model.nv
         + model.na
         + 7 * model.nbody
@@ -573,84 +743,10 @@ class _Static:
         # table is re-sliced to ground rows + one row per group; the
         # group's members and per-DoF participation live here as static
         # structures the emitter blends with the winner-index eq-masks.
-        self.pair_comp_groups = []
-        self.pair_keep = None
-        if model.pair_compress and self.ncand_pair:
+        self.pair_comp_groups, keep = _pair_group_specs(model)
+        self.pair_keep = keep  # model-row -> kernel-row selection
+        if self.pair_comp_groups:
             ng = self.ncand - self.ncand_pair
-            keep = list(range(ng))
-            for start, size in model.pair_groups:
-                rows = [ng + start + j for j in range(size)]
-                r0 = rows[0]
-                for r in rows[1:]:
-                    # spec.compile() splits groups on geom1/param
-                    # boundaries; real raises (not asserts) so the
-                    # invariant survives ``python -O``.
-                    if int(self.can_geom[r]) != int(self.can_geom[r0]):
-                        raise FlyGymInternalError("pair group mixes geom1")
-                    if not (
-                        np.array_equal(self.can_friction[r], self.can_friction[r0])
-                        and np.array_equal(self.can_solref[r], self.can_solref[r0])
-                        and np.array_equal(self.can_solimp[r], self.can_solimp[r0])
-                        and self.can_margin[r] == self.can_margin[r0]
-                    ):
-                        raise FlyGymInternalError(
-                            "pair group mixes contact params"
-                        )
-                members = [
-                    (int(self.can_geom2[r]), int(self.can_body2[r]))
-                    for r in rows
-                ]
-                # Per-DoF sign spec over the group's geom2 union: "all"
-                # (every member moves this DoF — free/root joints — so the
-                # sign is the STATIC -1 of an ordinary two-body row) or a
-                # tuple of contiguous member-index runs, from which the
-                # emitter builds lo<=w<=hi masks LAZILY at each use point.
-                # Only the winner lane value w stays live through the solve
-                # (vs one resident mask tile per union DoF — measured 15+
-                # MiB of scoped VMEM on the default two-fly preset).
-                member_dofs = [
-                    set(self.body_path_dofs[b2]) for _g2, b2 in members
-                ]
-                dof_members = {}
-                for j, dofs in enumerate(member_dofs):
-                    for d in dofs:
-                        dof_members.setdefault(d, []).append(j)
-                g1_path = set(self.body_path_dofs[int(self.can_body[r0])])
-                dof_sign_spec = {}
-                for d, js in sorted(dof_members.items()):
-                    if d in g1_path:
-                        # spec.compile() clears pair_compress for
-                        # same-tree pairs; raise (not assert) if one
-                        # slips through.
-                        raise FlyGymInternalError(
-                            "pair group geom2 shares DoFs with geom1 (same "
-                            "kinematic tree) — compression assumes disjoint "
-                            "trees (fly-fly contacts)"
-                        )
-                    if len(js) == size:
-                        dof_sign_spec[d] = "all"
-                        continue
-                    runs = []
-                    lo = prev = js[0]
-                    for j in js[1:]:
-                        if j == prev + 1:
-                            prev = j
-                            continue
-                        runs.append((lo, prev))
-                        lo = prev = j
-                    runs.append((lo, prev))
-                    dof_sign_spec[d] = tuple(runs)
-                self.pair_comp_groups.append(
-                    dict(
-                        row0=r0,
-                        members=members,
-                        invw=[float(self.can_invweight[r, 0]) for r in rows],
-                        dof_sign_spec=dof_sign_spec,
-                    )
-                )
-                keep.append(r0)
-            keep = np.asarray(keep, np.int64)
-            self.pair_keep = keep  # model-row -> kernel-row selection
             self.can_geom = self.can_geom[keep]
             self.can_body = self.can_body[keep]
             self.can_geom2 = self.can_geom2[keep]
@@ -761,12 +857,15 @@ def megastep_supported(model) -> bool:
     pair_compress, auto for >= 512 pair rows): the kernel emits ONE row per
     geom1 group whose geom2 is the group's runtime winner, sampled out of
     the kernel (K-chunk-stale, like the terrain planes) and blended with
-    eq-masks. Hardware caveat (2026-08-19): the winner-blend geometry
-    rebuilds multiply Mosaic register pressure with n_groups x gmax — the
-    default two-fly preset (55 groups of 55) measured 248.96 MiB on v5e
-    (223.82 MiB of register spill slots), so it is VMEM-gated to the jnp
-    path; small compressed groups stay in-kernel (golden-tested with a
-    group of 2 through the emitter). Small EXPLICIT pair sets run
+    eq-masks. The eq/sign masks and winner scalars are FUNCTIONS OF THE
+    CHUNK-STALE WINNER ONLY, so they are expanded out of the kernel
+    (sample_planes) into input rows the emitter reads lazily at each use
+    point: 2026-08-19 hardware measured the previous IN-KERNEL mask
+    rebuilds at 248.96 MiB on the 55x55 two-fly preset (223.82 MiB of
+    Mosaic register spill slots — the where-chain rebuilds multiplied
+    register pressure by n_groups x gmax), which the input-row design
+    converts into a bounded, double-buffered I/O term. Small EXPLICIT
+    pair sets run
     in-kernel uncompressed at ~1.1 MiB of register pressure per row
     (a 49-row set measured 152.45 MiB — over budget; ~16 rows fit).
 
@@ -798,6 +897,62 @@ def megastep_supported(model) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _wmask_from_widx(st: "_Static", widx):
+    """Adapt per-group winner-index lane values into the mask-dict form.
+
+    The Pallas kernel feeds PRECOMPUTED mask rows (winner one-hots, per-DoF
+    sign masks, winner-selected r2/h2/invw — all functions of the
+    chunk-stale winner index only), read lazily from the input block at
+    each use. Direct :func:`emit_step` callers (tests, eager cross-checks)
+    pass raw winner indices instead and get the same masks computed from
+    ``w`` inline — identical values, CSE'd by XLA outside Mosaic.
+    """
+    out = []
+    for g, grp in enumerate(st.pair_comp_groups):
+        w = widx[g]
+        nmem = len(grp["members"])
+        eq = [
+            (lambda j=j, w=w: jnp.where(w == float(j), 1.0, 0.0))
+            for j in range(nmem)
+        ]
+
+        def _sel(vals, w=w):
+            acc = None
+            for j, val in enumerate(vals):
+                t = jnp.where(w == float(j), float(val), 0.0)
+                acc = t if acc is None else acc + t
+            return acc
+
+        run_masks = []
+        for runs in grp["listed"]:
+
+            def _mask(runs=runs, w=w):
+                acc = None
+                for lo, hi in runs:
+                    t = (
+                        jnp.where(w == float(lo), 1.0, 0.0)
+                        if lo == hi
+                        else jnp.where(
+                            (w >= float(lo)) & (w <= float(hi)), 1.0, 0.0
+                        )
+                    )
+                    acc = t if acc is None else acc + t
+                return acc
+
+            run_masks.append(_mask)
+        sign = {d: run_masks[k] for d, k in grp["dof_sign_idx"].items()}
+        out.append(
+            dict(
+                eq=eq,
+                sign=sign,
+                r2=(lambda vals=grp["r2"], s=_sel: s(vals)),
+                h2=(lambda vals=grp["h2"], s=_sel: s(vals)),
+                invw=(lambda vals=grp["invw"], s=_sel: s(vals)),
+            )
+        )
+    return out
+
+
 def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None, widx=None):
     """Emit one physics step.
 
@@ -806,8 +961,9 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None, widx=None):
         q, v, ctrl, act, warm: lists of lane vectors (len nq/nv/nu/na/nv).
         terrain: per-candidate local ground planes [(h, nx, ny, nz)] of lane
             vectors (heightfield worlds; None = flat plane at ground_z).
-        widx: per-group winner indices (lane vectors, len = number of
-            compressed pair groups) for pair_compress models.
+        widx: winner-mask dicts (one per compressed pair group, the kernel's
+            lazy input-row readers), or raw per-group winner-index lane
+            vectors (adapted via :func:`_wmask_from_widx`).
 
     Returns dict with lists of lane vectors: qpos, qvel, act, qacc,
     xpos (nbody of 3-tuples), xquat (nbody of 4-tuples), site_xpos,
@@ -816,6 +972,8 @@ def emit_step(st: _Static, q, v, ctrl, act, warm, terrain=None, widx=None):
     z = jnp.zeros_like(q[0])
     one = jnp.ones_like(q[0])
     dt = st.timestep
+    if widx and not isinstance(widx[0], dict):
+        widx = _wmask_from_widx(st, widx)
 
     # ---------------- FK: sequential unrolled tree recursion --------------
     xpos = [None] * st.nbody
@@ -1289,51 +1447,34 @@ def _cand_geom(
             dist = (ep[2] - h_c) * nz_c - radius
             cpos = _sub3(ep, _scale3(n_c, radius + 0.5 * dist))
     elif st.pair_comp_groups:
-        # Compressed pair row: geom2 is the group's runtime winner. Blend
-        # the (memoized) member geom poses/sizes with eq-masks of the
-        # winner index lane value; per-DoF signs for the second body
-        # become lane masks (see dof_components' lane-sign path).
+        # Compressed pair row: geom2 is the group's runtime winner. The
+        # eq/sign masks and winner-selected scalars are functions of the
+        # CHUNK-STALE WINNER INDEX ONLY, so they are precomputed OUT of
+        # the kernel (sample_planes expands the winner argmin to one-hot
+        # eq rows, per-DoF sign rows, and r2/h2/invw scalar rows) and read
+        # lazily at each use point — a VMEM load per use instead of an
+        # in-kernel where-chain rebuild, which Mosaic spilled at ~2.5 MiB
+        # per winner row on the 55x55 two-fly preset (248.96 MiB total).
         grp = st.pair_comp_groups[cidx - ng_rows]
-        w = widx[cidx - ng_rows]
+        wm = widx[cidx - ng_rows]
         members = grp["members"]
-        eqs = [jnp.where(w == float(j), 1.0, 0.0) for j in range(len(members))]
         gpos2 = (z, z, z)
         zax2 = (z, z, z)
-        r2 = z
-        h2 = z
-        invw = z
         for j, (gi2_j, _b2_j) in enumerate(members):
             _bj, pj, zj = geom_world_frame(gi2_j)
-            e = eqs[j]
+            e = wm["eq"][j]()
             gpos2 = _add3(gpos2, _scale3(pj, e))
             zax2 = _add3(zax2, _scale3(zj, e))
-            r2 = r2 + float(st.geom_size[gi2_j, 0]) * e
-            h2 = h2 + float(st.geom_size[gi2_j, 1]) * e
-            invw = invw + grp["invw"][j] * e
-        # Lazy sign masks: "all" DoFs take the ordinary static -1; run-listed
-        # DoFs get a zero-arg callable building the lo<=w<=hi mask at each
-        # use point (dof_components recomputes comps for these rows anyway —
-        # no_comp_cache — so nothing mask-shaped needs to stay resident).
-        pair_signs = {}
-        for d, spec in grp["dof_sign_spec"].items():
-            if spec == "all":
-                pair_signs[d] = 1.0
-                continue
-
-            def _mask(runs=spec, w=w):
-                acc = None
-                for lo, hi in runs:
-                    t = (
-                        jnp.where(w == float(lo), 1.0, 0.0)
-                        if lo == hi
-                        else jnp.where(
-                            (w >= float(lo)) & (w <= float(hi)), 1.0, 0.0
-                        )
-                    )
-                    acc = t if acc is None else acc + t
-                return acc
-
-            pair_signs[d] = _mask
+        r2 = wm["r2"]()
+        h2 = wm["h2"]()
+        invw = wm["invw"]()
+        # "all" DoFs take the ordinary static -1; run-listed DoFs stay
+        # zero-arg callables (now a single precomputed-row read) evaluated
+        # at each use point — nothing mask-shaped stays resident.
+        pair_signs = {
+            d: (1.0 if spec == "all" else wm["sign"][d])
+            for d, spec in grp["dof_sign_spec"].items()
+        }
     else:
         gi2 = int(st.can_geom2[cidx])
         b2, gpos2, zax2 = geom_world_frame(gi2)
@@ -2202,10 +2343,14 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     nb, ns, nsite = st.nbody, st.nsensor, st.nsite
     ncand = st.ncand  # compressed row count for pair_compress models
     n_terrain = 4 * ncand if st.has_hfield else 0
-    # Compressed pair groups: one winner-index input row per group,
-    # sampled out-of-kernel (K-chunk-stale, like the terrain planes).
+    # Compressed pair groups: winner MASK input rows per group (one-hot eq
+    # over the members, per-listed-DoF sign masks, then r2/h2/invw winner
+    # scalars), expanded out-of-kernel from the winner argmin
+    # (K-chunk-stale, like the terrain planes). The kernel reads them
+    # LAZILY at use points — never resident, never rebuilt in-register.
     n_groups = len(st.pair_comp_groups)
-    n_aux = n_terrain + n_groups
+    n_wmask = sum(g["n_rows"] for g in st.pair_comp_groups)
+    n_aux = n_terrain + n_wmask
     K = int(k_steps)
     assert K >= 1
 
@@ -2235,7 +2380,28 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
                 for c in range(ncand)
             ]
         if n_groups:
-            widx = [read(t0 + n_terrain + g) for g in range(n_groups)]
+            # Lazy readers: each mask value is a VMEM load wherever the
+            # emitter calls it, so none of the n_wmask rows stays live.
+            rd = lambda i: (lambda i=i: in_ref[i, 0])
+            widx = []
+            off = t0 + n_terrain
+            for grp in st.pair_comp_groups:
+                nmem = len(grp["members"])
+                n_runs = len(grp["listed"])
+                sign_rows = [rd(off + nmem + k) for k in range(n_runs)]
+                widx.append(
+                    dict(
+                        eq=[rd(off + j) for j in range(nmem)],
+                        sign={
+                            d: sign_rows[k]
+                            for d, k in grp["dof_sign_idx"].items()
+                        },
+                        r2=rd(off + nmem + n_runs),
+                        h2=rd(off + nmem + n_runs + 1),
+                        invw=rd(off + nmem + n_runs + 2),
+                    )
+                )
+                off += grp["n_rows"]
 
         if K > 1:
             # K-1 in-kernel steps: the loop body compiles ONCE (fori_loop,
@@ -2315,7 +2481,38 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
         if n_groups:
             from flygym_tpu.engine.contact import make_pair_winner_sampler
 
-            _wsampler = make_pair_winner_sampler(model)
+            _winner = make_pair_winner_sampler(model)
+            # Per-group expansion matrix M = [I | S | V]: the winner
+            # one-hot (B, nmem) times M yields the group's mask-row block
+            # [eq rows | per-listed-DoF sign rows | r2 h2 invw] in the
+            # exact order the kernel's lazy readers expect.
+            _gmats = []
+            for grp in st.pair_comp_groups:
+                nmem = len(grp["members"])
+                listed = grp["listed"]  # unique runs, one sign row each
+                S = np.zeros((nmem, len(listed)), np.float32)
+                for k_, runs in enumerate(listed):
+                    for lo, hi in runs:
+                        S[lo : hi + 1, k_] = 1.0
+                V = np.stack(
+                    [grp["r2"], grp["h2"], grp["invw"]], axis=1
+                ).astype(np.float32)
+                M = np.concatenate(
+                    [np.eye(nmem, dtype=np.float32), S, V], axis=1
+                )
+                _gmats.append((nmem, jnp.asarray(M)))
+
+            def _wsampler(xpos, xquat):
+                w = _winner(xpos, xquat)  # (B, n_groups)
+                parts = []
+                for g, (nmem, M) in enumerate(_gmats):
+                    oh = (
+                        w[:, g : g + 1]
+                        == jnp.arange(nmem, dtype=w.dtype)[None, :]
+                    ).astype(jnp.float32)
+                    parts.append(oh @ M)
+                return jnp.concatenate(parts, axis=1)  # (B, n_wmask)
+
         _keep = st.pair_keep
 
         def sample_planes(state):
@@ -2350,14 +2547,16 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     # value stack + block I/O needs (plus headroom), instead of a global
     # LIBTPU flag sized for the biggest supported model — a limit raised
     # for a two-fly kernel measurably slows the single-fly one.
-    est_mb = _est_stream_mb(model) if st.stream else _est_scoped_mb(model)
-    # K-step fusion adds double-buffered I/O tiles for the extra ctrl
-    # slices and the qpos-trajectory rows, plus the fori_loop carry
-    # (~nq+2nv+na tiles, resident once).
-    if K > 1:
+    est_mb = (
+        _est_stream_mb(model)
+        if st.stream
+        else _est_scoped_mb(model, k_steps=K)
+    )
+    if st.stream and K > 1:
+        # The stream estimate lacks the K-fusion I/O terms.
         est_mb += (
-            2 * ((K - 1) * nu + n_traj) + (nq + 2 * nv + na)
-        ) * (SUBLANES * LANE * 4) / 2**20
+            2 * ((K - 1) * nu + n_traj) * (SUBLANES * LANE * 4) / 2**20
+        )
     vmem_limit_bytes = int(min(127.0, est_mb + 8.0) * 2**20)
     # Calibration override: compiling with a too-small limit makes Mosaic
     # report the kernel's ACTUAL scoped-VMEM requirement in the error.

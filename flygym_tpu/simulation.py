@@ -197,6 +197,13 @@ class Simulation:
         mega-kernel itself is off. Mesh-sharded runs wrap the K-kernel in
         the same shard_map as the single-step kernel
         (``make_megastep_sharded(..., k_steps=K)``).
+
+        K is VMEM-aware: fusion adds (K-1)*nu ctrl input rows and
+        (K-1)*nq trajectory output rows of double-buffered kernel I/O, so
+        big models near the VMEM gate get K clamped to the largest
+        divisor of n_steps whose K-step estimate still fits (the 204-DoF
+        ALL_POSSIBLE kernel OOM'd at K=8 / 4096 worlds with exactly this
+        signature: 107.48 MiB spill + 26.4 MiB of K-widened I/O windows).
         """
         import os
 
@@ -206,6 +213,15 @@ class Simulation:
             return None
         K = int(os.environ.get("FLYGYM_TPU_MEGASTEP_K", "8"))
         if K <= 1 or n_steps % K != 0:
+            return None
+        from flygym_tpu.ops.megastep import _VMEM_GATE_MB, _est_scoped_mb
+
+        while K > 1 and (
+            n_steps % K != 0
+            or _est_scoped_mb(self.model, k_steps=K) > _VMEM_GATE_MB
+        ):
+            K -= 1
+        if K <= 1:
             return None
         if self._megastep_k_fn is None or self._megastep_k_fn.k_steps != K:
             from flygym_tpu.ops.megastep import (

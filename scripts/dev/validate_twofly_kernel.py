@@ -1,0 +1,169 @@
+"""Hardware validation for the two-fly compressed kernel (mask-input rows).
+
+2026-08-20 redesign: the winner eq/sign masks and r2/h2/invw scalars are
+functions of the K-chunk-stale winner index only, so they are expanded OUT
+of the kernel (sample_planes) into aux input rows the emitter reads lazily
+at each use — replacing the in-kernel where-chain rebuilds that Mosaic
+spilled at 248.96 MiB (223.82 MiB register spill) on the 55x55 preset,
+2026-08-19. This script measures the redesign on real hardware:
+
+1. the 49-pair compressed preset (thorax + tarsal tips, the config the
+   docs bench): compile + run at B=128, cross-check one kernel step
+   against the vmapped jnp engine, optionally bench 4096x1000;
+2. the FULL 55x55 preset: attempt a compile at the 127 MiB ceiling —
+   success means the gate can open; a Mosaic out-of-VMEM error reports
+   the kernel's ACTUAL scoped-VMEM requirement for estimator
+   recalibration (_est_scoped_mb's winner-row coefficient).
+
+Usage: python scripts/dev/validate_twofly_kernel.py [--bench] [--full]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def two_fly_world(bodysegs=None):
+    from flygym_tpu.anatomy import AxisOrder, JointPreset, Skeleton
+    from flygym_tpu.compose import Fly, FlatGroundWorld, KinematicPosePreset
+    from flygym_tpu.utils.math import Rotation3D
+
+    def mkfly(name):
+        fly = Fly(name=name)
+        fly.add_joints(
+            Skeleton(
+                axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY
+            ),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        return fly
+
+    world = FlatGroundWorld()
+    world.add_fly(mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+    world.add_fly(mkfly("b"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0)))
+    n = world.add_fly_fly_contacts("a", "b", bodysegs=bodysegs)
+    print(f"fly-fly pairs: {n}", flush=True)
+    return world
+
+
+def main():
+    bench = "--bench" in sys.argv
+    full = "--full" in sys.argv
+
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path.home() / ".cache/jax_comp")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+    from flygym_tpu.anatomy import ALL_SEGMENT_NAMES, BodySegment
+    from flygym_tpu.engine.step import step, rollout_batched
+    from flygym_tpu.ops import megastep as ms
+
+    # ---- 1. the 49-pair compressed preset (docs bench config) ----
+    segs = ["c_thorax"] + [
+        n for n in ALL_SEGMENT_NAMES if n.endswith("tarsus5")
+    ]
+    world = two_fly_world(bodysegs=[BodySegment(s) for s in segs])
+    world._spec.options["pair_compress"] = True
+    model, state0 = world.compile()
+    print(
+        f"49-pair: nv={model.nv} ncand={model.ncand} groups="
+        f"{len(model.pair_groups)} mask_rows={ms._pair_mask_rows(model)} "
+        f"est={ms._est_scoped_mb(model):.1f} MiB "
+        f"supported={ms.megastep_supported(model)}",
+        flush=True,
+    )
+
+    B = 128
+    bstate = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
+    )
+    print("settling 1500 jnp steps at B=128 (fly b lands on a) ...", flush=True)
+    nan_ctrl = jnp.full((1500, B, model.nu), jnp.nan, jnp.float32)
+    t0 = time.time()
+    bstate, _ = rollout_batched(model, bstate, nan_ctrl, 1500)
+    np.asarray(bstate.qpos)
+    print(f"  settle done in {time.time() - t0:.1f}s", flush=True)
+
+    print("compiling the 49-pair mega-kernel ...", flush=True)
+    mega = ms.make_megastep(model)
+    t0 = time.time()
+    got = mega(bstate)
+    np.asarray(got.qpos)
+    print(f"  kernel compile+run in {time.time() - t0:.1f}s", flush=True)
+
+    ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+    for k, atol in (("qpos", 3e-4), ("qvel", 0.5), ("xpos", 5e-4)):
+        a, b = np.asarray(getattr(got, k)), np.asarray(getattr(ref, k))
+        d = np.abs(a - b).max()
+        print(f"  |d{k}| = {d:.3e} (atol {atol})", flush=True)
+        assert d <= atol, (k, d)
+    print("49-PAIR KERNEL==JNP OK", flush=True)
+
+    if bench:
+        from flygym_tpu.batch import BatchSimulation
+
+        n_worlds, n_steps = 4096, 1000
+        sim = BatchSimulation(world, n_worlds)
+        print(f"bench rollout {n_worlds}x{n_steps} (compile first) ...",
+              flush=True)
+        sim.rollout(None, n_steps)
+        np.asarray(sim.state.qpos[0])
+        t0 = time.time()
+        sim.rollout(None, n_steps)
+        np.asarray(sim.state.qpos[0])
+        dtime = time.time() - t0
+        rate = n_worlds * n_steps / dtime
+        print(
+            f"two-fly 49-pair compressed {n_worlds} worlds: {dtime:.2f}s -> "
+            f"{rate:,.0f} world-steps/s ({rate * 1e-4:.0f}x realtime)",
+            flush=True,
+        )
+
+    # ---- 2. the FULL 55x55 preset: measure actual scoped VMEM ----
+    if full:
+        import os
+
+        world_f = two_fly_world()
+        model_f, state_f = world_f.compile()
+        print(
+            f"55x55: mask_rows={ms._pair_mask_rows(model_f)} "
+            f"est={ms._est_scoped_mb(model_f):.1f} MiB "
+            f"supported={ms.megastep_supported(model_f)}",
+            flush=True,
+        )
+        os.environ["FLYGYM_TPU_MEGASTEP_VMEM_MB"] = "127"
+        bstate_f = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state_f
+        )
+        print("compiling the 55x55 kernel at the 127 MiB ceiling ...",
+              flush=True)
+        try:
+            mega_f = ms.make_megastep(model_f)
+            t0 = time.time()
+            got_f = mega_f(bstate_f)
+            np.asarray(got_f.qpos)
+            print(
+                f"  55x55 COMPILED AND RAN in {time.time() - t0:.1f}s "
+                "— the gate can open",
+                flush=True,
+            )
+            ref_f = jax.jit(jax.vmap(lambda s: step(model_f, s)))(bstate_f)
+            d = np.abs(
+                np.asarray(got_f.qpos) - np.asarray(ref_f.qpos)
+            ).max()
+            print(f"  |dqpos| vs jnp = {d:.3e}", flush=True)
+        except Exception as e:  # Mosaic reports the actual requirement
+            msg = str(e)
+            print(f"  55x55 compile FAILED (actual requirement in the "
+                  f"error):\n{msg[:2000]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,52 @@ class TestBatchedRollout:
             bsim.step_with_profile()
         bsim.print_performance_report(show_in_notebook=False)
 
+    def test_k_fusion_clamped_to_vmem_gate(self, world, monkeypatch):
+        """K-step fusion widens the kernel's double-buffered I/O windows
+        ((K-1)*nu ctrl rows in, (K-1)*nq trajectory rows out), so rollout
+        K selection must consult the K-aware VMEM estimate: the 204-DoF
+        ALL_POSSIBLE kernel OOM'd on hardware at K=8 / 4096 worlds
+        (133.88 MiB vs 128) while fitting at the clamped K. Estimates are
+        faked here so the clamp logic is testable on a small model."""
+        from flygym_tpu.ops import megastep as ms
+
+        bsim = flygym_tpu.BatchSimulation(world, 2)
+        dummy = lambda s: s
+        dummy.interpret_mode = False
+        monkeypatch.setattr(bsim, "_megastep", dummy)
+        built = {}
+
+        def fake_make(model, k_steps=1, **kw):
+            built["k"] = k_steps
+            fn = lambda *a, **k: None
+            fn.k_steps = k_steps
+            return fn
+
+        monkeypatch.setattr(ms, "make_megastep", fake_make)
+        monkeypatch.setattr(
+            ms,
+            "_est_scoped_mb",
+            lambda model, h0_matvec=None, k_steps=1: (
+                ms._VMEM_GATE_MB - 1.0
+                if k_steps <= 3
+                else ms._VMEM_GATE_MB + 1.0
+            ),
+        )
+        monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_K", "8")
+        # K=8 and K=4 exceed the gate; K=3 fits and divides n_steps=24.
+        kfn = bsim._get_megastep_k(24)
+        assert kfn is not None and built["k"] == 3
+        # No K>1 fits -> fall back to the single-step kernel.
+        bsim._megastep_k_fn = None
+        monkeypatch.setattr(
+            ms,
+            "_est_scoped_mb",
+            lambda model, h0_matvec=None, k_steps=1: (
+                ms._VMEM_GATE_MB + (1.0 if k_steps > 1 else -1.0)
+            ),
+        )
+        assert bsim._get_megastep_k(24) is None
+
 
 class TestSharding:
     def test_sharded_over_virtual_mesh(self, world):

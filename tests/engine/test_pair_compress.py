@@ -115,14 +115,16 @@ class TestSemantics:
 
 
 def test_kernel_gate_matches_engine_semantics():
-    """VMEM gating of pair rows (recalibrated 2026-08-19 on hardware):
-    the full 3,025-row pair set falls back on VMEM grounds as before, and
-    the COMPRESSED two-fly preset is now ALSO gated out — its winner-blend
-    geometry rebuilds measured 248.96 MiB on v5e (223.82 MiB of Mosaic
-    register spill slots; the interpret-mode CI that validated the design
-    does not model VMEM). Compressed kernels remain supported for small
-    groups (the capcap goldens run a group of 2 through the emitter); the
-    oversized preset runs compressed on the jnp path instead."""
+    """VMEM gating of pair rows (hardware-calibrated): the full
+    3,025-row pair set falls back on VMEM grounds as before, and the
+    COMPRESSED two-fly 55x55 preset is ALSO gated out. With the
+    2026-08-20 mask-input redesign (winner eq/sign masks precomputed out
+    of the kernel and read lazily) the cost moved from Mosaic register
+    spill (248.96 MiB measured 2026-08-19 with in-kernel mask rebuilds)
+    to bounded input-row I/O — still past the gate for 55 groups x 55
+    members (~5.8k mask rows). Compressed kernels remain supported for
+    small groups (the capcap goldens run a group of 2 through the
+    emitter); the oversized preset runs compressed on the jnp path."""
     from flygym_tpu.ops.megastep import _est_scoped_mb, megastep_supported
 
     mc, _ = _two_fly_world(dz=2.0).compile()
