@@ -12,6 +12,7 @@ mock emitter) cannot see.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -285,12 +286,14 @@ class TestCompressedPairsOnTPU:
     limit and reproduce the jnp engine step (which re-selects winners
     in-step) from a quiescent stacking state.
 
-    The FULL fly-fly preset (55x55 segments -> 55 winner rows) measured
-    248.96 MiB of Mosaic scoped VMEM on hardware (2026-08-19 OOM dump,
-    223.82 MiB register spill slots) and is correctly gated OFF the
-    kernel; hardware coverage of the winner-blend path uses a 7x7 subset
-    (thorax + the six tarsal tips, the segments that actually carry a
-    stacked fly) whose 7 winner rows fit the budget (~117 MiB est)."""
+    The FULL fly-fly preset (55x55 segments -> 55 winner rows) stays
+    gated OFF the kernel: with the 2026-08-20 mask-input redesign (winner
+    eq/sign masks precomputed out of the kernel and read lazily) its cost
+    moved from Mosaic register spill (248.96 MiB measured 2026-08-19 with
+    in-kernel mask rebuilds) to ~5.8k mask input rows of double-buffered
+    I/O — still past the gate. Hardware coverage of the winner-blend path
+    uses a 7x7 subset (thorax + the six tarsal tips, the segments that
+    actually carry a stacked fly), comfortably within budget."""
 
     @staticmethod
     def _mkfly(name):
@@ -429,4 +432,55 @@ class TestShardedKernelOnTPU:
         assert traj.shape == (K, bstate.qpos.shape[0], model.nq)
         np.testing.assert_allclose(
             np.asarray(traj[-1]), np.asarray(s_k.qpos), atol=1e-6
+        )
+
+
+class TestAllPossibleOnTPU:
+    """The 204-DoF ALL_POSSIBLE preset through the REAL Mosaic kernel.
+
+    The deep single tree (nv=210, 3,408 mass-matrix tree pairs) only fits
+    VMEM in H0-matvec mode (M·x recovered from the frozen LDL factor so Mh
+    dies after the Hessian fill) — hardware-validated 2026-08-20
+    (|dqpos| 1.6e-06 vs the jnp engine at B=128; see
+    scripts/dev/validate_204_kernel.py). The first compile takes ~10 min
+    on a fresh machine, so this class is gated behind
+    FLYGYM_TPU_TEST_BIGMODELS=1 to keep the default tpu smoke tier fast.
+    """
+
+    pytestmark = pytest.mark.skipif(
+        os.environ.get("FLYGYM_TPU_TEST_BIGMODELS") != "1",
+        reason="10-min Mosaic compile; set FLYGYM_TPU_TEST_BIGMODELS=1",
+    )
+
+    def test_204dof_kernel_matches_jnp(self):
+        from flygym_tpu.engine.step import rollout_batched
+        from flygym_tpu.ops import megastep as ms
+
+        fly = Fly(name="f")
+        fly.add_joints(
+            Skeleton(
+                axis_order=AxisOrder.YPR,
+                joint_preset=JointPreset.ALL_POSSIBLE,
+            ),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        fly.add_leg_adhesion()
+        world = FlatGroundWorld()
+        world.add_fly(fly, (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0)))
+        model, state0 = world.compile()
+        assert ms._use_h0_matvec(model) and ms.megastep_supported(model)
+
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
+        )
+        nan_ctrl = jnp.full((300, B, model.nu), jnp.nan, jnp.float32)
+        bstate, _ = rollout_batched(model, bstate, nan_ctrl, 300)
+        mega = ms.make_megastep(model)
+        got = mega(bstate)
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        np.testing.assert_allclose(
+            np.asarray(got.qpos), np.asarray(ref.qpos), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.qvel), np.asarray(ref.qvel), atol=0.5
         )
