@@ -84,10 +84,20 @@ def main():
     bstate = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0
     )
-    print("settling 1500 jnp steps at B=128 (fly b lands on a) ...", flush=True)
-    nan_ctrl = jnp.full((1500, B, model.nu), jnp.nan, jnp.float32)
+    # Settle WELL past quiescence: near a contact's activation edge the
+    # solref stiffness (k ~ 1/(dmax^2 tc^2 dr^2), tc=2e-4) multiplies
+    # Mosaic-vs-XLA fp reassociation noise in dist into O(g) qacc
+    # differences on light tarsal DoFs — a 1500-step settle left one row
+    # flickering (measured |dqvel| 1.18 on 2026-08-20); 4000 steps is
+    # quasi-static.
+    n_settle = 4000
+    print(
+        f"settling {n_settle} jnp steps at B=128 (fly b lands on a) ...",
+        flush=True,
+    )
+    nan_ctrl = jnp.full((n_settle, B, model.nu), jnp.nan, jnp.float32)
     t0 = time.time()
-    bstate, _ = rollout_batched(model, bstate, nan_ctrl, 1500)
+    bstate, _ = rollout_batched(model, bstate, nan_ctrl, n_settle)
     np.asarray(bstate.qpos)
     print(f"  settle done in {time.time() - t0:.1f}s", flush=True)
 
@@ -98,13 +108,56 @@ def main():
     np.asarray(got.qpos)
     print(f"  kernel compile+run in {time.time() - t0:.1f}s", flush=True)
 
+    # PRIMARY check — kernel vs the eager emitter fed the SAME winners:
+    # this isolates Mosaic lowering from the winner-selection timing and
+    # must agree to fp-reassociation scale.
+    from flygym_tpu.engine.contact import make_pair_winner_sampler
+
+    widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
+    widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
+    cols = lambda x: [x[:, i] for i in range(x.shape[1])]
+    st = ms._Static(model)
+
+    @jax.jit
+    def emit_ref(s):
+        r = ms.emit_step(
+            st,
+            cols(s.qpos),
+            cols(s.qvel),
+            cols(s.ctrl),
+            cols(s.act),
+            cols(s.qacc),
+            None,
+            widx,
+        )
+        return jnp.stack(r["qpos"], -1), jnp.stack(r["qvel"], -1)
+
+    eq, ev = emit_ref(bstate)
+    d_q = np.abs(np.asarray(eq) - np.asarray(got.qpos)).max()
+    d_v = np.abs(np.asarray(ev) - np.asarray(got.qvel)).max()
+    print(f"  vs SAME-WINNER emitter: |dqpos| = {d_q:.3e}  "
+          f"|dqvel| = {d_v:.3e}", flush=True)
+    assert d_q <= 3e-5 and d_v <= 5e-2, (d_q, d_v)
+
+    # SECONDARY check — kernel vs the jnp engine step, which re-selects
+    # winners IN-STEP from fresh FK. On a symmetric resting stack the
+    # nearest-member argmin can sit on a tie; when the two paths break it
+    # differently the flipped row (un)supports its segment for one step —
+    # a gravity-scale qacc difference (g*dt ~ 1 mm/s of qvel, measured
+    # 1.18-1.31 across settles). That is the documented K-chunk staleness
+    # contract, not a kernel fidelity bound, so the gate here is the
+    # one-step transient envelope.
     ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
-    for k, atol in (("qpos", 3e-4), ("qvel", 0.5), ("xpos", 5e-4)):
+    deltas = {}
+    for k, atol in (("qpos", 3e-4), ("qvel", 2.0), ("xpos", 5e-4)):
         a, b = np.asarray(getattr(got, k)), np.asarray(getattr(ref, k))
-        d = np.abs(a - b).max()
-        print(f"  |d{k}| = {d:.3e} (atol {atol})", flush=True)
+        deltas[k] = (np.abs(a - b).max(), atol)
+        print(f"  vs in-step-winner engine: |d{k}| = {deltas[k][0]:.3e} "
+              f"(atol {atol})", flush=True)
+    for k, (d, atol) in deltas.items():
         assert d <= atol, (k, d)
-    print("49-PAIR KERNEL==JNP OK", flush=True)
+    print("49-PAIR KERNEL==EMITTER OK (engine delta within the one-step "
+          "winner-flip envelope)", flush=True)
 
     if bench:
         from flygym_tpu.batch import BatchSimulation
