@@ -355,14 +355,43 @@ class TestCompressedPairsOnTPU:
         nan_ctrl = nan_ctrl[:, :, : model.nu]
         bstate, _ = rollout_batched(model, bstate, nan_ctrl, 1500)
         mega = make_megastep(model)
-        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
         got = mega(bstate)
         got_q = np.asarray(got.qpos)
-        np.testing.assert_allclose(got_q, np.asarray(ref.qpos), atol=3e-4)
-        # Mosaic-vs-XLA reassociation amplifies on contact transients;
-        # qvel agreement is velocity-scale, not displacement-scale.
+
+        # PRIMARY: kernel vs the eager emitter fed the SAME winner
+        # indices — isolates Mosaic lowering from winner-selection
+        # timing; must agree to fp-reassociation scale.
+        from flygym_tpu.engine.contact import make_pair_winner_sampler
+        from flygym_tpu.ops import megastep as ms
+
+        widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
+        widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
+        cols = lambda x: [x[:, i] for i in range(x.shape[1])]
+        st = ms._Static(model)
+
+        @jax.jit
+        def emit_ref(s):
+            r = ms.emit_step(
+                st, cols(s.qpos), cols(s.qvel), cols(s.ctrl),
+                cols(s.act), cols(s.qacc), None, widx,
+            )
+            return jnp.stack(r["qpos"], -1), jnp.stack(r["qvel"], -1)
+
+        eq, ev = emit_ref(bstate)
+        np.testing.assert_allclose(got_q, np.asarray(eq), atol=3e-5)
         np.testing.assert_allclose(
-            np.asarray(got.qvel), np.asarray(ref.qvel), atol=0.5
+            np.asarray(got.qvel), np.asarray(ev), atol=5e-2
+        )
+
+        # SECONDARY: vs the jnp engine, which re-selects winners IN-STEP
+        # from fresh FK. On the symmetric resting stack that argmin can
+        # sit on a tie; a flip (un)supports the segment for one step — a
+        # gravity-scale qacc transient (g*dt ~ 1 mm/s of qvel, measured
+        # 1.18-1.31 on 2026-08-20). Gate at the one-step envelope.
+        ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
+        np.testing.assert_allclose(got_q, np.asarray(ref.qpos), atol=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(got.qvel), np.asarray(ref.qvel), atol=2.0
         )
         # Fly b is SUPPORTED by compressed fly-fly rows, not fallen through.
         zb = float(got_q[0, model.free_joints[1][1] + 2])
