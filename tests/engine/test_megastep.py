@@ -580,6 +580,72 @@ class TestPairRowsMatchEngine:
         assert z_hi > z_lo + 0.4, (z_lo, z_hi)
 
 
+class TestCompressedMaskRowPlumbing:
+    """Winner-mask input rows through the REAL kernel, interpreted.
+
+    For pair-compressed models the winner eq one-hots, per-unique-run
+    sign masks, and r2/h2/invw scalars are expanded OUT of the kernel
+    (sample_planes) into aux input rows the emitter reads back via
+    per-row lazy readers — an offset mismatch between the sampler's
+    layout and the reader's would scramble the blended geom2 geometry.
+    The compressed group-of-2 spec (nv=12, 4 kernel rows) has a real
+    emitter graph small enough for the Pallas interpreter, so this is
+    the CPU guard for that layout: interpret kernel == eager emitter
+    fed the same winners, to fp noise."""
+
+    def test_interpret_kernel_matches_eager_emitter(self):
+        from flygym_tpu.engine.contact import make_pair_winner_sampler
+        from flygym_tpu.engine.model import make_initial_state
+        from tests.engine.test_capcap_golden import _compressed_spec
+
+        spec = _compressed_spec(exact=False)
+        model = spec.compile().model
+        assert model.pair_compress and model.pair_groups == ((0, 2),)
+        assert ms.megastep_supported(model)
+        state0 = make_initial_state(model)
+        Bp = 4
+        bstate = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (Bp,) + jnp.shape(x)),
+            state0,
+        )
+        # Vary B's drop height per world: contact active in some worlds,
+        # inactive in others — both row states go through the mask path.
+        bstate = dataclasses.replace(
+            bstate,
+            qpos=bstate.qpos.at[:, 9].set(
+                jnp.linspace(1.30, 1.70, Bp, dtype=jnp.float32)
+            ),
+        )
+
+        mega = ms.make_megastep(model, interpret=True)
+        got = mega(bstate)
+
+        widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
+        widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
+        st = ms._Static(model)
+        cols = lambda x: [x[:, i] for i in range(x.shape[1])]
+        r = ms.emit_step(
+            st,
+            cols(bstate.qpos),
+            cols(bstate.qvel),
+            cols(bstate.ctrl),
+            cols(bstate.act),
+            cols(bstate.qacc),
+            None,
+            widx,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.qpos),
+            np.stack([np.asarray(x) for x in r["qpos"]], -1),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.qvel),
+            np.stack([np.asarray(x) for x in r["qvel"]], -1),
+            atol=1e-5,
+        )
+
+
 class TestStreamingContactEmitter:
     """The streaming contact emitter (_emit_contacts_stream) is the same
     math as the fused one in a different evaluation order — big models
