@@ -450,6 +450,7 @@ def solve_contacts(
     gquat: jnp.ndarray,
     ctrl: jnp.ndarray,
     ref: jnp.ndarray,
+    widx=None,
 ):
     """Detect contacts, apply adhesion, solve constraints.
 
@@ -457,6 +458,8 @@ def solve_contacts(
         Mh: damping-augmented mass matrix (factored inside — exactly once).
         qfrc_smooth: smooth generalized forces excluding adhesion.
         qacc_warm: previous step's acceleration (active-set warm start).
+        widx: Optional (n_groups,) pinned compressed-group winner indices
+            (see :func:`flygym_tpu.engine.step.step`).
 
     Returns:
         qacc: (nv,) constrained acceleration.
@@ -490,10 +493,20 @@ def solve_contacts(
     # mega-kernel) the VMEM-resident row count.
     if model.pair_compress and model.ncand_pair:
         ng_rows = model.ncand - model.ncand_pair
-        winners = [
-            ng_rows + start + jnp.argmin(dist_all[ng_rows + start : ng_rows + start + size])
-            for start, size in model.pair_groups
-        ]
+        if widx is None:
+            winners = [
+                ng_rows
+                + start
+                + jnp.argmin(
+                    dist_all[ng_rows + start : ng_rows + start + size]
+                )
+                for start, size in model.pair_groups
+            ]
+        else:
+            winners = [
+                ng_rows + start + widx[g]
+                for g, (start, _size) in enumerate(model.pair_groups)
+            ]
         eff = jnp.concatenate(
             [jnp.arange(ng_rows), jnp.stack(winners)]
         )

@@ -33,8 +33,19 @@ from flygym_tpu.engine.model import ActKind, PhysicsModel, State, compute_site_x
 __all__ = ["step", "make_step_fn", "rollout"]
 
 
-def step(model: PhysicsModel, state: State) -> State:
-    """Advance one timestep. Pure function of (model, state)."""
+def step(model: PhysicsModel, state: State, widx=None) -> State:
+    """Advance one timestep. Pure function of (model, state).
+
+    Args:
+        widx: Optional (n_groups,) pinned winner indices for compressed
+            pair groups (``model.pair_groups``). Default None selects
+            winners in-step from fresh FK (argmin over each group's
+            distances). Passing the indices the mega-kernel's chunk-stale
+            sampler chose makes this step bit-comparable to the kernel —
+            the hardware fidelity check (validate_twofly_kernel.py) uses
+            this instead of jitting the ~1e5-op eager emitter, which the
+            TPU compile helper cannot digest.
+    """
     dt = model.timestep
     qpos, qvel, ctrl = state.qpos, state.qvel, state.ctrl
     dtype = qpos.dtype
@@ -78,6 +89,7 @@ def step(model: PhysicsModel, state: State) -> State:
         gquat,
         ctrl,
         ref,
+        widx=widx,
     )
 
     # ---- integrate ----

@@ -6,12 +6,23 @@ percent, throughput, realtime factor, with parallel aggregate columns — on top
 of the TPU runtime's timing counters.
 """
 
+import contextlib
+import glob
+import gzip
+import json
+import os
 import textwrap
 from typing import Literal
 
 from tabulate import tabulate
 
-__all__ = ["print_perf_report", "print_perf_report_parallel", "check_environment"]
+__all__ = [
+    "print_perf_report",
+    "print_perf_report_parallel",
+    "check_environment",
+    "trace",
+    "summarize_trace",
+]
 
 
 def _stage_rows(total_physics_ns, total_render_ns, n_steps, n_frames, timestep):
@@ -175,6 +186,117 @@ def print_perf_report_parallel(
         _render_note(n_frames_rendered, n_steps, per_frame_us),
         show_in_notebook,
     )
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/flygym_tpu_trace", *, summarize: bool = True):
+    """Capture a ``jax.profiler`` device trace of the enclosed block.
+
+    The wall-clock counters in :func:`print_perf_report` cannot attribute
+    time INSIDE a fused kernel or a jitted rollout (SURVEY §5 "JAX profiler
+    hooks"); this wraps ``jax.profiler.start_trace``/``stop_trace`` and, on
+    exit, parses the captured chrome-trace and prints where the time went —
+    device compute (top ops by busy time) vs host/dispatch.
+
+    Usage::
+
+        with flygym_tpu.utils.profiling.trace() as logdir:
+            sim.rollout(ctrl, 1000)
+            jax.block_until_ready(sim.state.qpos)
+
+    Block until ready INSIDE the context or the async dispatch escapes the
+    trace window. The raw trace stays under ``logdir`` for TensorBoard /
+    ``xprof``; ``summarize=False`` skips the printed digest.
+    """
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+        if summarize:
+            summarize_trace(logdir)
+
+
+def _load_trace_events(logdir: str) -> "list[dict]":
+    pats = [
+        os.path.join(logdir, "**", "*.trace.json.gz"),
+        os.path.join(logdir, "**", "*.trace.json"),
+    ]
+    paths = [p for pat in pats for p in glob.glob(pat, recursive=True)]
+    if not paths:
+        return []
+    path = max(paths, key=os.path.getmtime)
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
+        return json.load(f).get("traceEvents", [])
+
+
+def summarize_trace(logdir: str, top: int = 12) -> "dict | None":
+    """Parse the newest chrome-trace under ``logdir`` and print a digest.
+
+    Groups complete events ("ph" == "X") by process: device lanes (process
+    names containing "TPU"/"GPU"/"/device:") vs host threads, then prints
+    total busy time per side and the top ops by summed device duration.
+    Returns the digest as a dict (``None`` when no trace file is found).
+    """
+    events = _load_trace_events(logdir)
+    if not events:
+        print(f"[trace] no trace file found under {logdir}")
+        return None
+    pid_name = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e.get("pid")] = e.get("args", {}).get("name", "")
+    dev_ops: dict = {}
+    dev_total = 0.0
+    host_total = 0.0
+    span_lo, span_hi = float("inf"), 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        dur = float(e.get("dur", 0.0))  # microseconds
+        ts = float(e.get("ts", 0.0))
+        span_lo = min(span_lo, ts)
+        span_hi = max(span_hi, ts + dur)
+        pname = pid_name.get(e.get("pid"), "")
+        is_device = any(
+            k in pname for k in ("TPU", "GPU", "/device:", "Device")
+        ) and "host" not in pname.lower()
+        if is_device:
+            dev_total += dur
+            name = e.get("name", "?")
+            dev_ops[name] = dev_ops.get(name, 0.0) + dur
+        else:
+            host_total += dur
+    span = max(span_hi - span_lo, 1e-9)
+    rows = sorted(dev_ops.items(), key=lambda kv: -kv[1])[:top]
+    digest = {
+        "span_ms": span / 1e3,
+        "device_busy_ms": dev_total / 1e3,
+        "device_busy_frac": dev_total / span,
+        "host_event_ms": host_total / 1e3,
+        "top_device_ops": [
+            (n, d / 1e3, 100.0 * d / max(dev_total, 1e-9)) for n, d in rows
+        ],
+    }
+    print(
+        f"[trace] span {digest['span_ms']:.1f} ms — device busy "
+        f"{digest['device_busy_ms']:.1f} ms "
+        f"({100 * digest['device_busy_frac']:.0f}%), host-side events "
+        f"{digest['host_event_ms']:.1f} ms"
+    )
+    if rows:
+        print(
+            tabulate(
+                [(n, f"{ms:.2f}", f"{pc:.1f}") for n, ms, pc in
+                 digest["top_device_ops"]],
+                headers=["device op", "ms", "% busy"],
+                tablefmt="simple_grid",
+            )
+        )
+    return digest
 
 
 def check_environment() -> str:

@@ -30,9 +30,18 @@ import jax.numpy as jnp
 
 
 def two_fly_world(bodysegs=None):
-    from flygym_tpu.anatomy import AxisOrder, JointPreset, Skeleton
+    from flygym_tpu.anatomy import (
+        AxisOrder,
+        ContactBodiesPreset,
+        JointPreset,
+        Skeleton,
+    )
     from flygym_tpu.compose import Fly, FlatGroundWorld, KinematicPosePreset
     from flygym_tpu.utils.math import Rotation3D
+
+    if bodysegs is None:  # the FULL 55x55 preset (all segments with
+        # contact capsules: legs + thorax + abdomen + head)
+        bodysegs = ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD
 
     def mkfly(name):
         fly = Fly(name=name)
@@ -108,34 +117,23 @@ def main():
     np.asarray(got.qpos)
     print(f"  kernel compile+run in {time.time() - t0:.1f}s", flush=True)
 
-    # PRIMARY check — kernel vs the eager emitter fed the SAME winners:
-    # this isolates Mosaic lowering from the winner-selection timing and
-    # must agree to fp-reassociation scale.
+    # PRIMARY check — kernel vs the ENGINE step fed the SAME winners
+    # (step(..., widx=...)): this isolates Mosaic lowering from the
+    # winner-selection timing and must agree to fp-reassociation scale.
+    # (Jitting the eager emitter itself is NOT viable on hardware: its
+    # ~1e5-op XLA graph SIGSEGVs the remote tpu_compile_helper —
+    # measured 2026-08-20. The pinned-winner engine step compiles the
+    # same graph the settle already used.)
     from flygym_tpu.engine.contact import make_pair_winner_sampler
 
     widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
-    widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
-    cols = lambda x: [x[:, i] for i in range(x.shape[1])]
-    st = ms._Static(model)
 
-    @jax.jit
-    def emit_ref(s):
-        r = ms.emit_step(
-            st,
-            cols(s.qpos),
-            cols(s.qvel),
-            cols(s.ctrl),
-            cols(s.act),
-            cols(s.qacc),
-            None,
-            widx,
-        )
-        return jnp.stack(r["qpos"], -1), jnp.stack(r["qvel"], -1)
-
-    eq, ev = emit_ref(bstate)
-    d_q = np.abs(np.asarray(eq) - np.asarray(got.qpos)).max()
-    d_v = np.abs(np.asarray(ev) - np.asarray(got.qvel)).max()
-    print(f"  vs SAME-WINNER emitter: |dqpos| = {d_q:.3e}  "
+    pin_ref = jax.jit(
+        jax.vmap(lambda s, w: step(model, s, widx=w), in_axes=(0, 0))
+    )(bstate, widx_b)
+    d_q = np.abs(np.asarray(pin_ref.qpos) - np.asarray(got.qpos)).max()
+    d_v = np.abs(np.asarray(pin_ref.qvel) - np.asarray(got.qvel)).max()
+    print(f"  vs SAME-WINNER engine: |dqpos| = {d_q:.3e}  "
           f"|dqvel| = {d_v:.3e}", flush=True)
     assert d_q <= 3e-5 and d_v <= 5e-2, (d_q, d_v)
 

@@ -203,6 +203,54 @@ class TestCompressedPairGolden:
         assert err < 2e-3, err
         assert abs(qs_me[-1, 9] - 1.402) < 5e-3  # B balanced on acap1
 
+    def test_pinned_winner_engine_matches_emitter(self):
+        """step(model, s, widx=w) vs ms.emit_step fed the SAME winners.
+
+        The hardware fidelity check (validate_twofly_kernel.py) compares
+        the mega-kernel against the pinned-winner ENGINE step, because
+        jitting the eager emitter SIGSEGVs the remote TPU compile helper
+        (~1e5-op graph, measured 2026-08-20). This is the CPU guard for
+        that substitution: with winners pinned to the same indices, engine
+        and emitter must agree to fp noise — so kernel==emitter (the test
+        below) plus emitter==pinned-engine (this test) gives the full
+        chain kernel==pinned-engine that the hardware check relies on.
+        """
+        import flygym_tpu.ops.megastep as ms
+        from flygym_tpu.engine.contact import make_pair_winner_sampler
+
+        spec = _compressed_spec(exact=False)
+        model = spec.compile().model
+        state = make_initial_state(model)
+        st = ms._Static(model)
+        sampler = make_pair_winner_sampler(model)
+
+        # Settle a few hundred steps so contacts are active, then compare
+        # one step with winners pinned BOTH ways (each group member) —
+        # the pinned path must track the emitter whichever winner is fed.
+        s = state
+        for _ in range(220):
+            s = step(model, s)
+        cols = lambda x: [x[i] for i in range(x.shape[0])]
+        for forced in (None, 0, 1):
+            if forced is None:
+                w = sampler(s.xpos[None], s.xquat[None])[0]
+            else:
+                w = jnp.full((1,), forced, jnp.int32)
+            eng = step(model, s, widx=w)
+            r = ms.emit_step(
+                st,
+                cols(s.qpos),
+                cols(s.qvel),
+                cols(s.ctrl),
+                cols(s.act),
+                cols(s.qacc),
+                widx=[w[g] for g in range(w.shape[0])],
+            )
+            d_q = np.abs(np.asarray(jnp.stack(r["qpos"])) - eng.qpos).max()
+            d_v = np.abs(np.asarray(jnp.stack(r["qvel"])) - eng.qvel).max()
+            assert d_q < 1e-5, (forced, d_q)
+            assert d_v < 1e-2, (forced, d_v)
+
     def test_kernel_winner_blend_matches_mujoco(self):
         """The winner-blended geom2 row the Pallas mega-kernel executes,
         stepped eagerly through ms.emit_step with per-step winner

