@@ -211,6 +211,47 @@ class BatchSimulation(Simulation):
         mega = self._megastep
         if mega is not None and getattr(mega, "interpret_mode", False):
             mega = None
+
+        # VMEM-gated models fall back to the vmapped jnp path, whose XLA
+        # compile is PATHOLOGICAL at large world counts (204-DoF
+        # ALL_POSSIBLE at 4096 worlds: >40 min on TPU, measured
+        # 2026-08-20 and abandoned). Rather than let a user sink that
+        # silently, big-batch gated rollouts are split into world chunks:
+        # one bounded compile for the chunk size, reused across chunks.
+        chunk = self._fallback_world_chunk() if mega is None else None
+        if chunk is not None:
+            import warnings
+
+            warnings.warn(
+                f"Model exceeds the mega-kernel's VMEM gate and falls back "
+                f"to the vmapped jnp path, whose XLA compile is known to be "
+                f"pathological at large batch (measured >40 min at 4096 "
+                f"worlds on TPU). Splitting the rollout into "
+                f"{-(-self.n_worlds // chunk)} sequential chunks of "
+                f"<= {chunk} worlds (override with "
+                f"FLYGYM_TPU_FALLBACK_MAX_WORLDS=<n>, 0 disables).",
+                stacklevel=2,
+            )
+            states, trajs = [], []
+            for i in range(0, self.n_worlds, chunk):
+                sub = jax.tree.map(lambda x: x[i : i + chunk], self.state)
+                fs, tr = rollout_batched(
+                    self.model,
+                    sub,
+                    ctrl_sequence[:n_steps, i : i + chunk],
+                    n_steps,
+                    record=record_trajectory,
+                )
+                states.append(fs)
+                trajs.append(tr)
+            self.state = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *states
+            )
+            self._curr_step += n_steps
+            if not record_trajectory:
+                return None
+            return jnp.concatenate(trajs, axis=1)
+
         self.state, traj = rollout_batched(
             self.model,
             self.state,
@@ -222,6 +263,31 @@ class BatchSimulation(Simulation):
         )
         self._curr_step += n_steps
         return traj
+
+    def _fallback_world_chunk(self) -> "int | None":
+        """World-chunk size for VMEM-gated jnp-fallback rollouts, or None.
+
+        None = no split (kernel path available, mesh-sharded run, small
+        batch, model gated for a feature reason rather than size, or the
+        user disabled it with FLYGYM_TPU_FALLBACK_MAX_WORLDS=0).
+        """
+        import os
+
+        from flygym_tpu.ops.megastep import vmem_gated
+
+        if self._mesh is not None:
+            return None
+        cap = int(os.environ.get("FLYGYM_TPU_FALLBACK_MAX_WORLDS", "1024"))
+        if cap <= 0 or self.n_worlds <= cap:
+            return None
+        if not vmem_gated(self.model):
+            return None
+        # Equalize chunk sizes when possible so every chunk reuses ONE
+        # compiled program (a ragged last chunk would compile twice).
+        n_chunks = -(-self.n_worlds // cap)
+        if self.n_worlds % n_chunks == 0:
+            return self.n_worlds // n_chunks
+        return cap
 
     @property
     def time(self) -> float:

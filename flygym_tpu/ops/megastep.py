@@ -892,6 +892,21 @@ def megastep_supported(model) -> bool:
     return est <= _VMEM_GATE_MB
 
 
+def vmem_gated(model) -> bool:
+    """True when the model is kernel-ELIGIBLE but fails only the VMEM gate.
+
+    Used by BatchSimulation to fence the jnp-fallback compile pathology:
+    the 204-DoF ALL_POSSIBLE fallback at 4096 worlds hit a >40-minute XLA
+    compile on TPU (2026-08-20, abandoned) — exactly the models this
+    returns True for are the ones whose fallback programs are big enough
+    to risk it, so their large-batch rollouts are warned about and
+    auto-split into world chunks (FLYGYM_TPU_FALLBACK_MAX_WORLDS).
+    """
+    if model.solver_type == "pgs" or getattr(model, "welds", ()):
+        return False  # gated for a feature reason, not size
+    return not megastep_supported(model)
+
+
 # ---------------------------------------------------------------------------
 # The emitter: one physics step over lane vectors
 # ---------------------------------------------------------------------------

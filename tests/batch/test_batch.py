@@ -125,6 +125,45 @@ class TestBatchedRollout:
             bsim.step_with_profile()
         bsim.print_performance_report(show_in_notebook=False)
 
+    def test_vmem_gated_fallback_rollout_auto_splits(self, world, monkeypatch):
+        """VMEM-gated models fall back to the vmapped jnp path, whose XLA
+        compile is pathological at large batch (204-DoF ALL_POSSIBLE at
+        4096 worlds: >40 min on TPU, 2026-08-20). BatchSimulation.rollout
+        must warn and split such rollouts into world chunks — and the
+        chunked trajectory must equal the unchunked one exactly (worlds
+        are independent)."""
+        from flygym_tpu.ops import megastep as ms
+
+        bsim = flygym_tpu.BatchSimulation(world, 6)
+        ref = bsim.rollout(None, 10)
+        ref_state = bsim.state
+
+        bsim2 = flygym_tpu.BatchSimulation(world, 6)
+        assert bsim2._megastep is None  # CPU backend: jnp fallback
+        monkeypatch.setattr(ms, "vmem_gated", lambda m: True)
+        monkeypatch.setenv("FLYGYM_TPU_FALLBACK_MAX_WORLDS", "2")
+        with pytest.warns(UserWarning, match="chunks"):
+            got = bsim2.rollout(None, 10)
+        assert got.shape == ref.shape
+        # Different batch shapes compile different XLA programs, so the
+        # chunked run matches to fp-reassociation noise, not bitwise.
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(bsim2.state.qpos), np.asarray(ref_state.qpos),
+            atol=1e-9,
+        )
+        # Final qvel is settle noise (~1e-6 mm/s scale) — absolute bound.
+        np.testing.assert_allclose(
+            np.asarray(bsim2.state.qvel), np.asarray(ref_state.qvel),
+            atol=1e-5, rtol=0,
+        )
+        # Cap=0 disables the fence.
+        bsim3 = flygym_tpu.BatchSimulation(world, 6)
+        monkeypatch.setenv("FLYGYM_TPU_FALLBACK_MAX_WORLDS", "0")
+        assert bsim3._fallback_world_chunk() is None
+
     def test_k_fusion_clamped_to_vmem_gate(self, world, monkeypatch):
         """K-step fusion widens the kernel's double-buffered I/O windows
         ((K-1)*nu ctrl rows in, (K-1)*nq trajectory rows out), so rollout
