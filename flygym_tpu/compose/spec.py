@@ -805,11 +805,31 @@ class ModelSpec:
         # winner-blend assumes one param set per group). Used by the
         # nearest-neighbor pair compression (engine/contact.py and the
         # mega-kernel): each group contributes only its closest geom2.
+        def _pair_root(b):
+            b = int(b)
+            while b != 0 and int(body_parent[b]) != 0:
+                b = int(body_parent[b])
+            return b
+
         pair_groups = []
         if ncand_pair:
             def _gkey(row):
-                g1, _b1, _g2, _b2, fric, solref, solimp, margin = row
-                return (g1, fric, tuple(solref), tuple(solimp), margin)
+                g1, _b1, _g2, b2, fric, solref, solimp, margin = row
+                # geom2's ROOT subtree is part of the key: with N >= 3
+                # flies, consecutive add_fly_fly_contacts calls can start
+                # and end on the same geom1, and a group must never mix
+                # members from two different opposing flies (the
+                # compression contract is one winner per geom1 PER
+                # OPPOSING FLY, and the winner masks assume one geom2
+                # tree per group).
+                return (
+                    g1,
+                    _pair_root(b2),
+                    fric,
+                    tuple(solref),
+                    tuple(solimp),
+                    margin,
+                )
 
             run_start, run_key = 0, _gkey(pair_rows[0])
             for i in range(1, ncand_pair):
@@ -829,14 +849,8 @@ class ModelSpec:
             # pairs (same root subtree) would blend wrong signs — fall
             # back to uncompressed pair rows instead of asserting deep in
             # the kernel builder (ADVICE r3: megastep.py _Static).
-            def _root(b):
-                b = int(b)
-                while b != 0 and int(body_parent[b]) != 0:
-                    b = int(body_parent[b])
-                return b
-
             same_tree = any(
-                _root(row[1]) == _root(row[3]) for row in pair_rows
+                _pair_root(row[1]) == _pair_root(row[3]) for row in pair_rows
             )
             if same_tree:
                 import warnings

@@ -157,6 +157,35 @@ class BaseWorld(BaseCompositionElement):
                 n_added += 1
         return n_added
 
+    def add_all_fly_fly_contacts(
+        self,
+        *,
+        bodysegs: (
+            "list[BodySegment] | ContactBodiesPreset | str"
+        ) = ContactBodiesPreset.LEGS_THORAX_ABDOMEN_HEAD,
+        contact_params: ContactParams = ContactParams(),
+    ) -> int:
+        """Make EVERY pair of attached flies physically collide.
+
+        Calls :meth:`add_fly_fly_contacts` for each unordered pair of
+        attached flies, in attach order — the N-fly analog of the
+        reference's unbounded multi-fly contact support (``add_fly``
+        accepts arbitrary fly counts, reference ``world.py:95-149``).
+        Each call contributes its own compressed pair groups (one winner
+        contact per geom1 per opposing fly when ``pair_compress`` is on).
+
+        Returns:
+            The total number of contact pairs added across all fly pairs.
+        """
+        names = list(self._fly_lookup)
+        n_added = 0
+        for i, n1 in enumerate(names):
+            for n2 in names[i + 1 :]:
+                n_added += self.add_fly_fly_contacts(
+                    n1, n2, bodysegs=bodysegs, contact_params=contact_params
+                )
+        return n_added
+
     def add_fly(
         self,
         fly: Fly,

@@ -503,8 +503,11 @@ def solve_contacts(
                 for start, size in model.pair_groups
             ]
         else:
+            # make_pair_winner_sampler returns winner indices as float32
+            # lane values (the kernel blends them with eq-masks) — cast
+            # for use as gather indices here.
             winners = [
-                ng_rows + start + widx[g]
+                ng_rows + start + widx[g].astype(jnp.int32)
                 for g, (start, _size) in enumerate(model.pair_groups)
             ]
         eff = jnp.concatenate(

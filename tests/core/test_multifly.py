@@ -167,6 +167,115 @@ class TestFlyFlyCollision:
         )
 
 
+class TestThreeFlies:
+    """N >= 3 flies: the all-pairs contact helper and pair-group integrity
+    (reference ``add_fly`` supports arbitrary fly counts per world,
+    ``world.py:95-149``; this exercises the repo's pair-group machinery
+    past one fly-pair)."""
+
+    def _bare_fly(self, name):
+        from flygym_tpu.anatomy import Skeleton
+
+        fly = Fly(name=name)
+        fly.add_joints(
+            Skeleton(
+                axis_order=AxisOrder.YPR, joint_preset=JointPreset.LEGS_ONLY
+            ),
+            neutral_pose=KinematicPosePreset.NEUTRAL,
+        )
+        return fly
+
+    def _three_fly_world(self, bodysegs):
+        world = FlatGroundWorld()
+        for i, nm in enumerate(("a", "b", "c")):
+            world.add_fly(
+                self._bare_fly(nm),
+                (0, 0, 1.2 + 1.8 * i),
+                Rotation3D("quat", (1, 0, 0, 0)),
+            )
+        n = world.add_all_fly_fly_contacts(bodysegs=bodysegs)
+        return world, n
+
+    def test_all_pairs_helper_counts_and_groups(self):
+        from flygym_tpu.anatomy import ALL_SEGMENT_NAMES, BodySegment
+
+        segs = [BodySegment("c_thorax")] + [
+            BodySegment(s)
+            for s in ALL_SEGMENT_NAMES
+            if s.endswith("tarsus5")
+        ]
+        world, n = self._three_fly_world(segs)
+        # 3 unordered fly pairs x 7x7 segments.
+        assert n == 3 * 49
+        world._spec.options["pair_compress"] = True
+        model, _ = world.compile()
+        assert model.ncand_pair == 147
+        # One group per geom1 per opposing fly: 7 geom1 x (2 calls with
+        # that fly on the geom1 side ... ) = 21 total (7 per fly pair).
+        assert len(model.pair_groups) == 21
+        assert all(size == 7 for _s, size in model.pair_groups)
+        # Group members must come from ONE opposing fly's tree each.
+        from flygym_tpu.ops import megastep as ms
+
+        specs, _keep = ms._pair_group_specs(model)
+        body_parent = np.asarray(model.body_parent)
+
+        def root(b):
+            while b != 0 and int(body_parent[b]) != 0:
+                b = int(body_parent[b])
+            return b
+
+        for g in specs:
+            roots = {root(b2) for _g2, b2 in g["members"]}
+            assert len(roots) == 1, roots
+
+    def test_groups_never_merge_across_opposing_flies(self):
+        """Consecutive add_fly_fly_contacts calls that start and end on
+        the SAME geom1 with the same params must still produce one group
+        per opposing fly (the winner masks assume one geom2 tree per
+        group)."""
+        from flygym_tpu.anatomy import BodySegment
+
+        world, n = self._three_fly_world([BodySegment("c_thorax")])
+        assert n == 3  # one pair per fly pair, contiguous, same geom1 runs
+        world._spec.options["pair_compress"] = True
+        model, _ = world.compile()
+        # a-b, a-c, b-c: the a-b and a-c rows share geom1 (a's thorax) and
+        # params — without the geom2-root group key they would merge.
+        assert len(model.pair_groups) == 3
+        assert all(size == 1 for _s, size in model.pair_groups)
+
+    def test_three_fly_pile_settles(self):
+        """Drop three flies in a vertical stack: with all-pairs contacts
+        they must interact (finite, bounded state; nobody tunnels to the
+        center of the earth, nobody blows up) through impact and pile-up
+        on the jnp path."""
+        import jax
+        import jax.numpy as jnp
+
+        from flygym_tpu.anatomy import ALL_SEGMENT_NAMES, BodySegment
+        from flygym_tpu.engine.step import rollout
+
+        segs = [BodySegment("c_thorax")] + [
+            BodySegment(s)
+            for s in ALL_SEGMENT_NAMES
+            if s.endswith("tarsus5")
+        ]
+        world, _n = self._three_fly_world(segs)
+        world._spec.options["pair_compress"] = True
+        model, state0 = world.compile()
+        ctrl = jnp.full((1500, model.nu), jnp.nan, jnp.float32)
+        final, _ = rollout(model, state0, ctrl, 1500, record=False)
+        qp = np.asarray(final.qpos)
+        qv = np.asarray(final.qvel)
+        assert np.isfinite(qp).all() and np.isfinite(qv).all()
+        z = [float(qp[model.free_joints[i][1] + 2]) for i in range(3)]
+        # All three roots above the ground plane and below their spawns.
+        assert all(0.2 < zi < 5.0 for zi in z), z
+        # Post-impact motion is bounded (no energy blowup).
+        assert np.abs(qv).max() < 50.0
+
+
 class TestConfigApplier:
     def test_yaml_options(self, tmp_path):
         from flygym_tpu.compose.spec import ModelSpec
