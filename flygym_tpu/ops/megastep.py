@@ -92,7 +92,8 @@ def _pair_group_specs(model, validate=True):
       runs} over the geom2 union), ``listed`` (sorted UNIQUE runs — one
       sign-mask row each; DoFs on the same body path share a row),
       ``dof_sign_idx`` ({run-listed dof: row index into listed}), and
-      ``n_rows`` = members + unique runs + 3 scalar mask-input rows.
+      ``n_rows`` = 1 winner-index row + unique runs + 3 scalar rows (eq
+      one-hots are lazy in-kernel compares against the index row).
     - keep: model-row -> kernel-row selection (ground rows + one per group).
 
     ``validate=False`` skips the param/tree invariant raises (used by the
@@ -206,7 +207,10 @@ def _pair_group_specs(model, validate=True):
                 dof_sign_spec=dof_sign_spec,
                 listed=listed,
                 dof_sign_idx=dof_sign_idx,
-                n_rows=len(members) + len(listed) + 3,
+                # Aux input rows per group: [winner index | per-unique-run
+                # sign rows | r2 h2 invw]. Winner eq one-hots are lazy
+                # in-kernel compares against the index row, NOT rows.
+                n_rows=1 + len(listed) + 3,
             )
         )
         keep.append(r0)
@@ -408,19 +412,52 @@ def _est_stream_mb(model) -> float:
 def _stream_mode(model) -> bool:
     """Whether the kernel should use the streaming contact emitter.
 
-    Default: fused everywhere (fast for every supported model once
-    measured correctly — see STREAM_ABOVE_MB note).
-    FLYGYM_TPU_MEGASTEP_STREAM=1 forces streaming; =auto selects it for
-    models whose fused value-stack estimate exceeds STREAM_ABOVE_MB.
+    Default ("rescue"): fused — fast for every supported model once
+    measured correctly (see STREAM_ABOVE_MB note) — UNLESS the fused
+    estimate alone would gate the model off the kernel and the streaming
+    estimate fits: then streaming trades ~1.2x vector ops for staying
+    in-kernel at all, which beats the jnp fallback by an order of
+    magnitude (the VMEM-wall rescue, 2026-08-20; targets the 55x55
+    two-fly preset and 3-fly configs).
+    FLYGYM_TPU_MEGASTEP_STREAM=1 forces streaming, =0 forces fused,
+    =auto selects it for models whose fused value-stack estimate exceeds
+    STREAM_ABOVE_MB.
     """
     import os
 
-    mode = os.environ.get("FLYGYM_TPU_MEGASTEP_STREAM", "0")
+    mode = os.environ.get("FLYGYM_TPU_MEGASTEP_STREAM", "rescue")
     if mode == "1":
         return True
+    if mode == "0":
+        return False
     if mode == "auto":
         return _est_scoped_mb(model) > STREAM_ABOVE_MB
-    return False
+    return (
+        _est_scoped_mb(model) > _VMEM_GATE_MB
+        and _est_stream_mb(model) <= _VMEM_GATE_MB
+    )
+
+
+def _kfuse_io_mb(model, k_steps: int) -> float:
+    """Extra double-buffered I/O of K-step fusion: (K-1)*nu ctrl input
+    rows + (K-1)*nq qpos-trajectory output rows."""
+    return (
+        2
+        * (k_steps - 1)
+        * (model.nu + model.nq)
+        * (SUBLANES * LANE * 4)
+        / 2**20
+    )
+
+
+def _est_kernel_mb(model, k_steps: int = 1) -> float:
+    """Scoped-VMEM estimate of the kernel AS IT WOULD BE BUILT — resolves
+    the fused/stream emitter choice exactly like make_megastep, so the
+    gate (megastep_supported), the rollout K clamp (_get_megastep_k) and
+    the per-kernel vmem_limit_bytes all agree."""
+    if _stream_mode(model):
+        return _est_stream_mb(model) + _kfuse_io_mb(model, k_steps)
+    return _est_scoped_mb(model, k_steps=k_steps)
 
 
 _EPS = 1e-9
@@ -881,15 +918,14 @@ def megastep_supported(model) -> bool:
         # Soft-weld tethers (TetheredWorld(weld="soft")) stay on the jnp
         # path: a niche single-fly configuration, not a batch perf path.
         return False
-    est = (
-        _est_stream_mb(model) if _stream_mode(model) else _est_scoped_mb(model)
-    )
     # Headroom under the 128 MiB physical VMEM (2026-08-19 recalibration;
     # see _est_scoped_mb for the four hardware calibration points). Models
     # with no pair rows whose plain estimate exceeds the gate get one more
     # chance through the H0-matvec mode (_use_h0_matvec), which frees the
-    # Mh live range; _est_scoped_mb resolves that mode automatically.
-    return est <= _VMEM_GATE_MB
+    # Mh live range; _est_scoped_mb resolves that mode automatically, and
+    # _est_kernel_mb resolves the fused/stream emitter choice (incl. the
+    # stream-rescue path) exactly as make_megastep would build it.
+    return _est_kernel_mb(model) <= _VMEM_GATE_MB
 
 
 def vmem_gated(model) -> bool:
@@ -2397,23 +2433,37 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
         if n_groups:
             # Lazy readers: each mask value is a VMEM load wherever the
             # emitter calls it, so none of the n_wmask rows stays live.
+            # The winner eq one-hots are NOT input rows (they were, until
+            # 2026-08-20): each group ships ONE winner-index row and the
+            # eq masks are single lazy compares (w == j) at their use
+            # points — gmax-1 fewer input rows per group (the 55x55
+            # preset's eq rows alone were 3,025 of 5,830 aux rows ≈
+            # 23.6 MiB of double-buffered input I/O).
             rd = lambda i: (lambda i=i: in_ref[i, 0])
             widx = []
             off = t0 + n_terrain
             for grp in st.pair_comp_groups:
                 nmem = len(grp["members"])
                 n_runs = len(grp["listed"])
-                sign_rows = [rd(off + nmem + k) for k in range(n_runs)]
+                w_row = rd(off)
+                sign_rows = [rd(off + 1 + k) for k in range(n_runs)]
                 widx.append(
                     dict(
-                        eq=[rd(off + j) for j in range(nmem)],
+                        eq=[
+                            (
+                                lambda j=j, w=w_row: jnp.where(
+                                    w() == float(j), 1.0, 0.0
+                                )
+                            )
+                            for j in range(nmem)
+                        ],
                         sign={
                             d: sign_rows[k]
                             for d, k in grp["dof_sign_idx"].items()
                         },
-                        r2=rd(off + nmem + n_runs),
-                        h2=rd(off + nmem + n_runs + 1),
-                        invw=rd(off + nmem + n_runs + 2),
+                        r2=rd(off + 1 + n_runs),
+                        h2=rd(off + 1 + n_runs + 1),
+                        invw=rd(off + 1 + n_runs + 2),
                     )
                 )
                 off += grp["n_rows"]
@@ -2493,14 +2543,16 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
 
             _tsampler = make_plane_sampler(model)
         _wsampler = None
+        _expand_winners = None
         if n_groups:
             from flygym_tpu.engine.contact import make_pair_winner_sampler
 
             _winner = make_pair_winner_sampler(model)
-            # Per-group expansion matrix M = [I | S | V]: the winner
-            # one-hot (B, nmem) times M yields the group's mask-row block
-            # [eq rows | per-listed-DoF sign rows | r2 h2 invw] in the
-            # exact order the kernel's lazy readers expect.
+            # Per-group expansion matrix M = [S | V]: the winner one-hot
+            # (B, nmem) times M yields the group's mask-row block
+            # [per-listed-DoF sign rows | r2 h2 invw]; the winner INDEX
+            # row itself is prepended raw (the kernel's eq masks are lazy
+            # in-kernel compares against it, not input rows).
             _gmats = []
             for grp in st.pair_comp_groups:
                 nmem = len(grp["members"])
@@ -2512,21 +2564,31 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
                 V = np.stack(
                     [grp["r2"], grp["h2"], grp["invw"]], axis=1
                 ).astype(np.float32)
-                M = np.concatenate(
-                    [np.eye(nmem, dtype=np.float32), S, V], axis=1
-                )
+                M = np.concatenate([S, V], axis=1)
                 _gmats.append((nmem, jnp.asarray(M)))
 
-            def _wsampler(xpos, xquat):
-                w = _winner(xpos, xquat)  # (B, n_groups)
+            def _expand_winners(w):
+                """Deterministic (B, n_groups) winner indices -> (B,
+                n_wmask) mask-row block. Split from the argmin so
+                hardware validation can feed the EXACT same winners to
+                the kernel (via terrain_planes) and the pinned-winner
+                engine step — two separate XLA compilations of the
+                argmin can break a symmetric tie differently at fp-
+                reassociation scale (measured 2026-08-20: a same-winner
+                check tripped its own gravity-scale flip envelope)."""
                 parts = []
                 for g, (nmem, M) in enumerate(_gmats):
                     oh = (
                         w[:, g : g + 1]
                         == jnp.arange(nmem, dtype=w.dtype)[None, :]
                     ).astype(jnp.float32)
+                    parts.append(w[:, g : g + 1])
                     parts.append(oh @ M)
                 return jnp.concatenate(parts, axis=1)  # (B, n_wmask)
+
+            def _wsampler(xpos, xquat):
+                # (B, n_groups) float32 winner indices -> mask rows.
+                return _expand_winners(_winner(xpos, xquat))
 
         _keep = st.pair_keep
 
@@ -2551,6 +2613,7 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
 
     else:
         sample_planes = None
+        _expand_winners = None
 
     # Always 8 sublanes: Mosaic pads spilled values to full (8, 128) tiles,
     # so a narrower block costs the SAME scoped-VMEM stack at half the
@@ -2562,16 +2625,7 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     # value stack + block I/O needs (plus headroom), instead of a global
     # LIBTPU flag sized for the biggest supported model — a limit raised
     # for a two-fly kernel measurably slows the single-fly one.
-    est_mb = (
-        _est_stream_mb(model)
-        if st.stream
-        else _est_scoped_mb(model, k_steps=K)
-    )
-    if st.stream and K > 1:
-        # The stream estimate lacks the K-fusion I/O terms.
-        est_mb += (
-            2 * ((K - 1) * nu + n_traj) * (SUBLANES * LANE * 4) / 2**20
-        )
+    est_mb = _est_kernel_mb(model, k_steps=K)
     vmem_limit_bytes = int(min(127.0, est_mb + 8.0) * 2**20)
     # Calibration override: compiling with a too-small limit makes Mosaic
     # report the kernel's ACTUAL scoped-VMEM requirement in the error.
@@ -2705,6 +2759,12 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     # Rollouts use this to amortize the (expensive) terrain-plane sampling
     # over several kernel steps (engine/step.py:rollout_batched).
     fn.sample_planes = sample_planes
+    # Hardware validation uses this to feed the kernel the EXACT winner
+    # indices the pinned-winner engine step gets (deterministic expansion;
+    # no argmin, so no tie-break divergence between compilations). Only
+    # valid as terrain_planes for models WITHOUT an hfield (otherwise the
+    # terrain rows must be concatenated in front).
+    fn.expand_winners = _expand_winners
     fn.k_steps = K
     return fn
 

@@ -214,11 +214,11 @@ class Simulation:
         K = int(os.environ.get("FLYGYM_TPU_MEGASTEP_K", "8"))
         if K <= 1 or n_steps % K != 0:
             return None
-        from flygym_tpu.ops.megastep import _VMEM_GATE_MB, _est_scoped_mb
+        from flygym_tpu.ops.megastep import _VMEM_GATE_MB, _est_kernel_mb
 
         while K > 1 and (
             n_steps % K != 0
-            or _est_scoped_mb(self.model, k_steps=K) > _VMEM_GATE_MB
+            or _est_kernel_mb(self.model, k_steps=K) > _VMEM_GATE_MB
         ):
             K -= 1
         if K <= 1:

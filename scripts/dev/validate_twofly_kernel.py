@@ -84,7 +84,10 @@ def main():
     print(
         f"49-pair: nv={model.nv} ncand={model.ncand} groups="
         f"{len(model.pair_groups)} mask_rows={ms._pair_mask_rows(model)} "
-        f"est={ms._est_scoped_mb(model):.1f} MiB "
+        f"fused={ms._est_scoped_mb(model):.1f} "
+        f"stream={ms._est_stream_mb(model):.1f} "
+        f"kernel={ms._est_kernel_mb(model):.1f} MiB "
+        f"stream_mode={ms._stream_mode(model)} "
         f"supported={ms.megastep_supported(model)}",
         flush=True,
     )
@@ -112,10 +115,6 @@ def main():
 
     print("compiling the 49-pair mega-kernel ...", flush=True)
     mega = ms.make_megastep(model)
-    t0 = time.time()
-    got = mega(bstate)
-    np.asarray(got.qpos)
-    print(f"  kernel compile+run in {time.time() - t0:.1f}s", flush=True)
 
     # PRIMARY check — kernel vs the ENGINE step fed the SAME winners
     # (step(..., widx=...)): this isolates Mosaic lowering from the
@@ -124,9 +123,23 @@ def main():
     # ~1e5-op XLA graph SIGSEGVs the remote tpu_compile_helper —
     # measured 2026-08-20. The pinned-winner engine step compiles the
     # same graph the settle already used.)
+    #
+    # The winners are sampled ONCE here and fed to BOTH sides: the
+    # kernel gets them as precomputed mask rows (mega.expand_winners ->
+    # terrain_planes), the engine as widx. Letting each side run its own
+    # argmin is NOT same-winner: two XLA compilations of the sampler can
+    # break a symmetric resting-stack tie differently at fp-reassociation
+    # scale (measured 2026-08-20: |dqvel| 1.31 = one flipped row's
+    # gravity-scale transient, in what was meant to be the pinned check).
     from flygym_tpu.engine.contact import make_pair_winner_sampler
 
     widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
+    planes_b = mega.expand_winners(widx_b)
+
+    t0 = time.time()
+    got = mega(bstate, terrain_planes=planes_b)
+    np.asarray(got.qpos)
+    print(f"  kernel compile+run in {time.time() - t0:.1f}s", flush=True)
 
     pin_ref = jax.jit(
         jax.vmap(lambda s, w: step(model, s, widx=w), in_axes=(0, 0))
@@ -185,7 +198,10 @@ def main():
         model_f, state_f = world_f.compile()
         print(
             f"55x55: mask_rows={ms._pair_mask_rows(model_f)} "
-            f"est={ms._est_scoped_mb(model_f):.1f} MiB "
+            f"fused={ms._est_scoped_mb(model_f):.1f} "
+            f"stream={ms._est_stream_mb(model_f):.1f} "
+            f"kernel={ms._est_kernel_mb(model_f):.1f} MiB "
+            f"stream_mode={ms._stream_mode(model_f)} "
             f"supported={ms.megastep_supported(model_f)}",
             flush=True,
         )

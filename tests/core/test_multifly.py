@@ -134,15 +134,19 @@ class TestFlyFlyCollision:
         assert (g2[ng:] >= 0).all()
         # The legs_thorax_abdomen_head pair set (3,025 rows) triggers
         # nearest-neighbor pair compression (one kernel row per geom1
-        # group). The full 55-group preset is still VMEM-gated off the
-        # Mosaic kernel (measured 248.96 MiB on v5e, 2026-08-19) and runs
-        # compressed on the jnp path; see tests/engine/test_pair_compress
-        # for the gate and tests/tpu for an in-budget compressed config.
-        from flygym_tpu.ops.megastep import megastep_supported
+        # group). The full 55-group preset was VMEM-gated off the Mosaic
+        # kernel until 2026-08-20 (measured 248.96 MiB fused on v5e,
+        # 2026-08-19); the winner-index-row redesign (eq one-hots became
+        # lazy in-kernel compares) plus the stream-rescue emitter choice
+        # bring the ESTIMATE back under the gate, so it is kernel-
+        # supported again — via the streaming emitter, not fused.
+        import flygym_tpu.ops.megastep as ms
 
         assert model.pair_compress
         assert len(model.pair_groups) < model.ncand_pair
-        assert not megastep_supported(model)
+        assert ms._est_scoped_mb(model) > ms._VMEM_GATE_MB  # fused gates
+        assert ms.megastep_supported(model)  # ...but stream rescues
+        assert ms._stream_mode(model)
 
     def test_flies_collide_vs_pass_through(self):
         """With pair rows the upper fly rests ON the lower one; without, it

@@ -744,15 +744,26 @@ class TestStreamingContactEmitter:
 
     def test_stream_mode_selection(self, stacked, monkeypatch):
         small_model, _ = _world().compile()
-        # Default: fused everywhere (streaming measured no better on TPU).
+        # Default ("rescue"): fused for models the fused estimate fits...
         assert not ms._stream_mode(small_model)
-        assert not ms._stream_mode(stacked[0])
-        # auto: est-based selection; 1: forced on.
+        # ...but a model that would be VMEM-GATED fused (the 49-pair
+        # uncompressed two-fly set: 152.45 MiB measured 2026-08-19) whose
+        # STREAM estimate fits is rescued onto the streaming kernel
+        # instead of falling to the jnp path.
+        assert ms._est_scoped_mb(stacked[0]) > ms._VMEM_GATE_MB
+        assert ms._est_stream_mb(stacked[0]) <= ms._VMEM_GATE_MB
+        assert ms._stream_mode(stacked[0])
+        assert ms.megastep_supported(stacked[0])
+        # The unified kernel estimator resolves the same mode choice.
+        assert ms._est_kernel_mb(stacked[0]) == ms._est_stream_mb(stacked[0])
+        # auto: est-based selection; 1: forced on; 0: forced fused.
         monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_STREAM", "auto")
         assert not ms._stream_mode(small_model)
         assert ms._stream_mode(stacked[0])
         monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_STREAM", "1")
         assert ms._stream_mode(small_model)
+        monkeypatch.setenv("FLYGYM_TPU_MEGASTEP_STREAM", "0")
+        assert not ms._stream_mode(stacked[0])
 
 
 class TestConstFoldedQuatHelpers:

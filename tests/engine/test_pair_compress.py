@@ -116,24 +116,35 @@ class TestSemantics:
 
 def test_kernel_gate_matches_engine_semantics():
     """VMEM gating of pair rows (hardware-calibrated): the full
-    3,025-row pair set falls back on VMEM grounds as before, and the
-    COMPRESSED two-fly 55x55 preset is ALSO gated out. With the
-    2026-08-20 mask-input redesign (winner eq/sign masks precomputed out
-    of the kernel and read lazily) the cost moved from Mosaic register
-    spill (248.96 MiB measured 2026-08-19 with in-kernel mask rebuilds)
-    to bounded input-row I/O — still past the gate for 55 groups x 55
-    members (~5.8k mask rows). Compressed kernels remain supported for
-    small groups (the capcap goldens run a group of 2 through the
-    emitter); the oversized preset runs compressed on the jnp path."""
-    from flygym_tpu.ops.megastep import _est_scoped_mb, megastep_supported
+    3,025-row UNCOMPRESSED pair set stays gated off the kernel on VMEM
+    grounds (both emitters blow the budget at ~1.1 MiB of fused register
+    pressure / 38 stream lanes per candidate row x 3,245 rows). The
+    COMPRESSED 55x55 preset, gated out through round 4, is kernel-
+    supported again as of 2026-08-20: the winner-index-row redesign (eq
+    one-hots became lazy in-kernel compares, halving the mask-row I/O
+    from ~5.8k to ~2.9k rows) plus the stream-rescue emitter choice
+    bring its estimate under the gate — fused still exceeds it, so the
+    gate resolves to the STREAMING emitter (same _contacts_impl math,
+    smaller live set)."""
+    import flygym_tpu.ops.megastep as ms
 
     mc, _ = _two_fly_world(dz=2.0).compile()
     mf, _ = _two_fly_world(dz=2.0, compress=False).compile()
-    assert not megastep_supported(mf)
+    assert not ms.megastep_supported(mf)
     assert mc.pair_compress
-    assert not megastep_supported(mc)
-    # The estimate reproduces the measured hardware OOM point (~249 MiB).
-    assert 200.0 < _est_scoped_mb(mc) < 300.0, _est_scoped_mb(mc)
+    # Fused alone would gate; the stream estimate fits; rescue takes it.
+    assert ms._est_scoped_mb(mc) > ms._VMEM_GATE_MB
+    assert ms._est_stream_mb(mc) <= ms._VMEM_GATE_MB
+    assert ms._stream_mode(mc)
+    assert ms.megastep_supported(mc)
+    # Forcing fused restores the round-4 gating semantics.
+    import os
+
+    os.environ["FLYGYM_TPU_MEGASTEP_STREAM"] = "0"
+    try:
+        assert not ms.megastep_supported(mc)
+    finally:
+        del os.environ["FLYGYM_TPU_MEGASTEP_STREAM"]
 
 
 class TestKernelCompressedRows:

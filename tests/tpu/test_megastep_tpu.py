@@ -286,14 +286,16 @@ class TestCompressedPairsOnTPU:
     limit and reproduce the jnp engine step (which re-selects winners
     in-step) from a quiescent stacking state.
 
-    The FULL fly-fly preset (55x55 segments -> 55 winner rows) stays
-    gated OFF the kernel: with the 2026-08-20 mask-input redesign (winner
-    eq/sign masks precomputed out of the kernel and read lazily) its cost
-    moved from Mosaic register spill (248.96 MiB measured 2026-08-19 with
-    in-kernel mask rebuilds) to ~5.8k mask input rows of double-buffered
-    I/O — still past the gate. Hardware coverage of the winner-blend path
-    uses a 7x7 subset (thorax + the six tarsal tips, the segments that
-    actually carry a stacked fly), comfortably within budget."""
+    The FULL fly-fly preset (55x55 segments -> 55 winner rows) is
+    kernel-supported again as of 2026-08-20: the winner-INDEX-row
+    redesign (eq one-hots became lazy in-kernel compares, ~2.9k mask
+    rows instead of ~5.8k) plus the stream-rescue emitter choice bring
+    its estimate under the gate (fused alone still exceeds it; history:
+    248.96 MiB measured 2026-08-19 with in-kernel mask rebuilds).
+    Hardware coverage of the winner-blend path uses a 7x7 subset (thorax
+    + the six tarsal tips, the segments that actually carry a stacked
+    fly), comfortably within budget; scripts/dev/validate_twofly_kernel
+    --full drives the 55x55 compile itself."""
 
     @staticmethod
     def _mkfly(name):
@@ -318,16 +320,23 @@ class TestCompressedPairsOnTPU:
         )
         return world
 
-    def test_full_preset_gated_off_kernel(self):
-        # Measured on hardware: 55 winner rows compile to 248.96 MiB of
-        # scoped VMEM (vs the 128 MiB ceiling). The estimator must keep
-        # this preset on the jnp path.
-        from flygym_tpu.ops.megastep import megastep_supported
+    def test_full_preset_stream_rescued_onto_kernel(self):
+        # Round-4 history: 55 winner rows compiled to 248.96 MiB of
+        # scoped VMEM with in-kernel mask rebuilds (measured 2026-08-19)
+        # and stayed gated even as precomputed input rows (~5.8k of
+        # them). The 2026-08-20 winner-INDEX-row redesign (eq one-hots
+        # are lazy in-kernel compares; ~2.9k rows) plus the stream-
+        # rescue emitter choice bring the estimate under the gate, so
+        # the preset runs in-kernel again — streaming, fused still gated.
+        import flygym_tpu.ops.megastep as ms
 
         world = self._two_fly_world()
         assert world.add_fly_fly_contacts("a", "b") == 3025
         model, _ = world.compile()
-        assert model.pair_compress and not megastep_supported(model)
+        assert model.pair_compress
+        assert ms._est_scoped_mb(model) > ms._VMEM_GATE_MB
+        assert ms._stream_mode(model)
+        assert ms.megastep_supported(model)
 
     def test_compressed_kernel_matches_jnp(self):
         from flygym_tpu.anatomy import ALL_SEGMENT_NAMES, BodySegment
@@ -355,16 +364,21 @@ class TestCompressedPairsOnTPU:
         nan_ctrl = nan_ctrl[:, :, : model.nu]
         bstate, _ = rollout_batched(model, bstate, nan_ctrl, 1500)
         mega = make_megastep(model)
-        got = mega(bstate)
-        got_q = np.asarray(got.qpos)
 
         # PRIMARY: kernel vs the eager emitter fed the SAME winner
         # indices — isolates Mosaic lowering from winner-selection
-        # timing; must agree to fp-reassociation scale.
+        # timing; must agree to fp-reassociation scale. The winners are
+        # sampled ONCE and fed to BOTH sides (expand_winners ->
+        # terrain_planes): separate XLA compilations of the argmin can
+        # break a symmetric resting-stack tie differently at fp-
+        # reassociation scale (measured 2026-08-20), which is winner-
+        # selection timing, not kernel fidelity.
         from flygym_tpu.engine.contact import make_pair_winner_sampler
         from flygym_tpu.ops import megastep as ms
 
         widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
+        got = mega(bstate, terrain_planes=mega.expand_winners(widx_b))
+        got_q = np.asarray(got.qpos)
         widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
         cols = lambda x: [x[:, i] for i in range(x.shape[1])]
         st = ms._Static(model)
@@ -385,14 +399,52 @@ class TestCompressedPairsOnTPU:
 
         # SECONDARY: vs the jnp engine, which re-selects winners IN-STEP
         # from fresh FK. On the symmetric resting stack that argmin can
-        # sit on a tie; a flip (un)supports the segment for one step — a
-        # gravity-scale qacc transient (g*dt ~ 1 mm/s of qvel, measured
-        # 1.18-1.31 on 2026-08-20). Gate at the one-step envelope.
+        # sit on a tie; a flip (un)supports the segment for one step.
+        # DERIVED transient bound: the flipped row drops at most the
+        # segment's share of the contact force, so the one-step qvel
+        # error is bounded by the free-fall increment g*dt times a
+        # lever/mass-ratio factor; C=3 covers the measured flip envelope
+        # (1.18-1.31 = 1.2-1.4 g*dt across settles, 2026-08-20) with
+        # margin, instead of the old uncalibrated atol=2.0.
+        g = float(np.abs(np.asarray(model.gravity)).max())
+        dt = float(model.timestep)
+        one_step_flip_bound = 3.0 * g * dt  # = 2.94 mm/s at 9810, 1e-4
         ref = jax.jit(jax.vmap(lambda s: step(model, s)))(bstate)
         np.testing.assert_allclose(got_q, np.asarray(ref.qpos), atol=3e-4)
-        np.testing.assert_allclose(
-            np.asarray(got.qvel), np.asarray(ref.qvel), atol=2.0
+        dv = np.abs(np.asarray(got.qvel) - np.asarray(ref.qvel))
+        assert dv.max() <= one_step_flip_bound, (
+            dv.max(),
+            one_step_flip_bound,
         )
+        # DECAY: the flip is a one-step impulse, not a persistent bias —
+        # both paths re-settle to the SAME quiescent equilibrium. Roll
+        # each forward (its own winner selection) and require the
+        # divergence to fall an order below the one-step envelope and
+        # the stack to stay quasi-static.
+        n_decay = 200
+        nanc = jnp.full(
+            (n_decay, Bp, max(model.nu, 1)), jnp.nan, jnp.float32
+        )[:, :, : model.nu]
+        ref_T, _ = rollout_batched(model, bstate, nanc, n_decay)
+        spl = mega.sample_planes
+
+        @jax.jit
+        def decay_rollout(s0):
+            def body(s, _):
+                return mega(s, terrain_planes=spl(s)), None
+
+            out, _ = jax.lax.scan(body, s0, None, length=n_decay)
+            return out
+
+        kstate = decay_rollout(got)
+        dq_T = np.abs(np.asarray(kstate.qpos) - np.asarray(ref_T.qpos))
+        dv_T = np.abs(np.asarray(kstate.qvel) - np.asarray(ref_T.qvel))
+        assert dq_T.max() <= 3e-3, dq_T.max()
+        assert dv_T.max() <= 0.1 * one_step_flip_bound, (
+            dv_T.max(),
+            one_step_flip_bound,
+        )
+        assert np.abs(np.asarray(kstate.qvel)).max() <= 0.5, "not quiescent"
         # Fly b is SUPPORTED by compressed fly-fly rows, not fallen through.
         zb = float(got_q[0, model.free_joints[1][1] + 2])
         assert zb > 1.0, zb
