@@ -213,7 +213,8 @@ class Retina:
             **kwargs,
         )
 
-    def make_render_batched(self, model: PhysicsModel, *, interpret: bool = False):
+    def make_render_batched(self, model: PhysicsModel, *,
+                            interpret: bool = False, layout: str = "auto"):
         """Batched render function: (B,)-batched State → (B, 2, n_omm, 2).
 
         On the TPU backend (or with ``interpret=True`` anywhere) this is the
@@ -232,7 +233,9 @@ class Retina:
             )
 
             if retina_kernel_supported(model):
-                kern = make_retina_kernel(model, self, interpret=interpret)
+                kern = make_retina_kernel(
+                    model, self, interpret=interpret, layout=layout
+                )
                 if self.blur_weights is None:
                     return kern
                 # Acceptance-cone mixing stays OUTSIDE the kernel: one

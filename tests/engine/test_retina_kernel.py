@@ -74,11 +74,18 @@ def _batched_states(model, state, n, seed=0):
 
 
 class TestRetinaKernel:
-    def test_interpret_matches_jnp(self, tiny_scene):
+    @pytest.mark.parametrize("layout", ["worlds", "rays"])
+    def test_interpret_matches_jnp(self, tiny_scene, layout):
+        """Both kernel layouts against the jnp oracle: worlds-major
+        (worlds in lanes, big batches) and ray-major (rays in lanes,
+        grid over worlds — the small-batch / single-fly step+render
+        path, 2026-08-20)."""
         model, state, retina = tiny_scene
         bstate = _batched_states(model, state, 4)
 
-        kernel = retina.make_render_batched(model, interpret=True)
+        kernel = retina.make_render_batched(
+            model, interpret=True, layout=layout
+        )
         oracle = jax.jit(jax.vmap(lambda s: retina.render(model, s)))
 
         out_k = np.asarray(kernel(bstate))
@@ -91,6 +98,27 @@ class TestRetinaKernel:
         assert agree.mean() > 0.995, agree.mean()
         # Scenes differ per world, so the renders must too.
         assert np.abs(out_k[0] - out_k[1]).max() > 1e-4
+
+    def test_layouts_agree(self, tiny_scene):
+        """worlds-major and ray-major are the same math on the same
+        inputs — they must agree to fp-reassociation scale, not just
+        through the oracle's looser silhouette-edge tolerance."""
+        from flygym_tpu.ops.retina_pallas import make_retina_kernel
+
+        model, state, retina = tiny_scene
+        bstate = _batched_states(model, state, 4, seed=2)
+        out_w = np.asarray(
+            make_retina_kernel(
+                model, retina, interpret=True, layout="worlds"
+            )(bstate)
+        )
+        out_r = np.asarray(
+            make_retina_kernel(
+                model, retina, interpret=True, layout="rays"
+            )(bstate)
+        )
+        agree = np.abs(out_w - out_r) < 1e-5
+        assert agree.mean() > 0.999, agree.mean()
 
     def test_lane_padding_roundtrip(self, tiny_scene):
         """Batch sizes off the 128-lane grid pad and slice correctly."""
