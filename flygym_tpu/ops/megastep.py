@@ -456,8 +456,20 @@ def _est_kernel_mb(model, k_steps: int = 1) -> float:
     gate (megastep_supported), the rollout K clamp (_get_megastep_k) and
     the per-kernel vmem_limit_bytes all agree."""
     if _stream_mode(model):
-        return _est_stream_mb(model) + _kfuse_io_mb(model, k_steps)
-    return _est_scoped_mb(model, k_steps=k_steps)
+        est = _est_stream_mb(model) + _kfuse_io_mb(model, k_steps)
+    else:
+        est = _est_scoped_mb(model, k_steps=k_steps)
+    if k_steps > 1 and _pair_comp_shape(model)[0]:
+        # K-fusion STACK penalty for pair-group kernels, calibrated on
+        # the 2026-08-20 OOM dump: the two-fly 49-pair kernel at K=4
+        # measured 147.40 MiB against a 122.9 estimate (+24.5 over three
+        # fused steps). The fori-loop carry interacts with the pair
+        # rows' two-body live set nonlinearly in Mosaic's allocator;
+        # with a single calibration point the per-step term carries a
+        # 1.5x safety factor (12.2 = 24.5/3 * 1.5), which clamps
+        # pair-group rollouts to K=1 until a second point exists.
+        est += 12.2 * (k_steps - 1)
+    return est
 
 
 _EPS = 1e-9
