@@ -296,7 +296,8 @@ def _use_h0_matvec(model) -> bool:
 
 
 def _est_scoped_mb(
-    model, h0_matvec: "bool | None" = None, k_steps: int = 1
+    model, h0_matvec: "bool | None" = None, k_steps: int = 1,
+    sublanes: int = SUBLANES,
 ) -> float:
     """Estimated Mosaic scoped-VMEM use of the kernel, in MiB.
 
@@ -368,7 +369,10 @@ def _est_scoped_mb(
         + model.nu
         + 16 * model.nsensor_contact
     )
-    io = 2 * (n_in + n_out) * (SUBLANES * LANE * 4) / 2**20
+    # The stack is sublane-INdependent (Mosaic pads spills to full
+    # (8, 128) tiles — measured identical at 8 and 4 sublanes); only the
+    # window I/O shrinks with a narrower block.
+    io = 2 * (n_in + n_out) * (sublanes * LANE * 4) / 2**20
     return stack + io
 
 
@@ -384,7 +388,7 @@ def _est_scoped_mb(
 STREAM_ABOVE_MB = 60.0
 
 
-def _est_stream_mb(model) -> float:
+def _est_stream_mb(model, sublanes: int = SUBLANES) -> float:
     """Estimated Mosaic scoped-VMEM use of the STREAMING kernel, in MiB.
 
     Live set: motion subspace S (6nv), body frames (7nbody), the three
@@ -393,7 +397,7 @@ def _est_stream_mb(model) -> float:
     D·jd line-search rows), plus the same double-buffered block I/O term
     as the fused kernel.
     """
-    _n_groups, _gmax, kernel_ncand = _pair_comp_shape(model)
+    n_groups, _gmax, kernel_ncand = _pair_comp_shape(model)
     npairs = model.nv + sum(len(c) for c in model.dof_chains)
     lanes = (
         6 * model.nv
@@ -402,10 +406,22 @@ def _est_stream_mb(model) -> float:
         + 4 * model.nv
         + 38 * kernel_ncand
     )
+    # Winner-group stack term, calibrated on the 2026-08-20 55x55
+    # hardware runs: at 8 sublanes the stream kernel used the FULL
+    # 112.5 MiB scoped arena + 19.39 MiB of (single-buffered, B=128)
+    # windows = 131.89 total (OOM > 128); at 4 sublanes (9.55 MiB
+    # windows) it COMPILED AND RAN at the 127 MiB ceiling. The lazy
+    # winner-mask reads cost Mosaic stack per mask row (the lane-model
+    # above had the 55-group stack at 81.3 — ~31 MiB under the arena
+    # cap); 0.0075 MiB/row makes the double-buffered-io estimate
+    # reproduce the measured 4-sublane fit and 8-sublane miss (with
+    # margin for the actuated variant's extra ctrl/actuator rows).
+    wmask_stack = 0.0075 * (_pair_mask_rows(model) if n_groups else 0)
     # I/O part = fused estimate minus its (recalibrated) stack model.
     h0 = _use_h0_matvec(model)
-    return 12.0 + lanes / 256.0 + (
-        _est_scoped_mb(model, h0_matvec=h0) - _stack_mb(model, h0_matvec=h0)
+    return 12.0 + lanes / 256.0 + wmask_stack + (
+        _est_scoped_mb(model, h0_matvec=h0, sublanes=sublanes)
+        - _stack_mb(model, h0_matvec=h0)
     )
 
 
@@ -432,10 +448,46 @@ def _stream_mode(model) -> bool:
         return False
     if mode == "auto":
         return _est_scoped_mb(model) > STREAM_ABOVE_MB
-    return (
-        _est_scoped_mb(model) > _VMEM_GATE_MB
-        and _est_stream_mb(model) <= _VMEM_GATE_MB
+    # Rescue: streaming fits at EITHER block width (the 55x55 preset
+    # only fits at 4 sublanes — see _kernel_sublanes).
+    return _est_scoped_mb(model) > _VMEM_GATE_MB and (
+        min(_est_stream_mb(model), _est_stream_mb(model, sublanes=4))
+        <= _VMEM_GATE_MB
     )
+
+
+def _est_kernel_mb_at(model, k_steps: int, sublanes: int) -> float:
+    """Kernel estimate at an EXPLICIT block width (mode still resolved
+    by _stream_mode)."""
+    if _stream_mode(model):
+        est = _est_stream_mb(model, sublanes=sublanes) + _kfuse_io_mb(
+            model, k_steps
+        )
+    else:
+        est = _est_scoped_mb(model, k_steps=k_steps, sublanes=sublanes)
+    if k_steps > 1 and _pair_comp_shape(model)[0]:
+        est += 12.2 * (k_steps - 1)  # see _est_kernel_mb
+    return est
+
+
+def _kernel_sublanes(model, k_steps: int = 1) -> int:
+    """Block width the kernel will be built with: 8 sublanes (full VPU
+    vregs) unless only the NARROW 4-sublane block fits the VMEM gate —
+    halving the input/output window allocations at half the throughput
+    (the Mosaic value stack is sublane-independent). First validated on
+    the 55x55 stream kernel, 2026-08-20: 131.89 MiB at 8 sublanes
+    (OOM), compiled and ran at 4. FLYGYM_TPU_MEGASTEP_SUBLANES forces a
+    width."""
+    import os
+
+    ovr = os.environ.get("FLYGYM_TPU_MEGASTEP_SUBLANES")
+    if ovr:
+        return int(ovr)
+    if _est_kernel_mb_at(model, k_steps, SUBLANES) <= _VMEM_GATE_MB:
+        return SUBLANES
+    if _est_kernel_mb_at(model, k_steps, 4) <= _VMEM_GATE_MB:
+        return 4
+    return SUBLANES  # gated anyway; caller falls back to jnp
 
 
 def _kfuse_io_mb(model, k_steps: int) -> float:
@@ -452,24 +504,20 @@ def _kfuse_io_mb(model, k_steps: int) -> float:
 
 def _est_kernel_mb(model, k_steps: int = 1) -> float:
     """Scoped-VMEM estimate of the kernel AS IT WOULD BE BUILT — resolves
-    the fused/stream emitter choice exactly like make_megastep, so the
-    gate (megastep_supported), the rollout K clamp (_get_megastep_k) and
-    the per-kernel vmem_limit_bytes all agree."""
-    if _stream_mode(model):
-        est = _est_stream_mb(model) + _kfuse_io_mb(model, k_steps)
-    else:
-        est = _est_scoped_mb(model, k_steps=k_steps)
-    if k_steps > 1 and _pair_comp_shape(model)[0]:
-        # K-fusion STACK penalty for pair-group kernels, calibrated on
-        # the 2026-08-20 OOM dump: the two-fly 49-pair kernel at K=4
-        # measured 147.40 MiB against a 122.9 estimate (+24.5 over three
-        # fused steps). The fori-loop carry interacts with the pair
-        # rows' two-body live set nonlinearly in Mosaic's allocator;
-        # with a single calibration point the per-step term carries a
-        # 1.5x safety factor (12.2 = 24.5/3 * 1.5), which clamps
-        # pair-group rollouts to K=1 until a second point exists.
-        est += 12.2 * (k_steps - 1)
-    return est
+    the fused/stream emitter choice AND the block width (8 vs narrow 4
+    sublanes) exactly like make_megastep, so the gate
+    (megastep_supported), the rollout K clamp (_get_megastep_k) and the
+    per-kernel vmem_limit_bytes all agree.
+
+    The K>1 term for pair-group kernels is calibrated on the 2026-08-20
+    OOM dump: the two-fly 49-pair kernel at K=4 measured 147.40 MiB
+    against a 122.9 estimate (+24.5 over three fused steps — the
+    fori-loop carry interacts with the pair rows' two-body live set
+    nonlinearly in Mosaic's allocator). With a single calibration point
+    the per-step term carries a 1.5x safety factor (12.2 = 24.5/3 *
+    1.5), which clamps pair-group rollouts to K=1 until a second point
+    exists."""
+    return _est_kernel_mb_at(model, k_steps, _kernel_sublanes(model, k_steps))
 
 
 _EPS = 1e-9
@@ -2630,7 +2678,14 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
     # Always 8 sublanes: Mosaic pads spilled values to full (8, 128) tiles,
     # so a narrower block costs the SAME scoped-VMEM stack at half the
     # throughput (measured — see _est_scoped_mb).
-    sublanes = SUBLANES
+    # Block width: 8 sublanes (full VPU vregs) unless only the NARROW
+    # 4-sublane block fits the VMEM gate — halving the window
+    # allocations at half the throughput; the Mosaic value STACK is
+    # sublane-independent (spills pad to full (8, 128) tiles). The 55x55
+    # stream kernel measured 131.89 MiB total (112.5 arena + 19.39
+    # windows) at 8 sublanes and compiled+ran at 4 (2026-08-20).
+    # FLYGYM_TPU_MEGASTEP_SUBLANES forces a width.
+    sublanes = _kernel_sublanes(model, k_steps=K)
     block = sublanes * LANE
 
     # Per-kernel VMEM limit: each model gets exactly the scoped VMEM its
@@ -2675,6 +2730,20 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
         packed, B0 = _pad_lanes(packed, block)
         bp = packed.shape[1]
         nblk = bp // block
+        if nblk > 1 and sublanes < SUBLANES:
+            import warnings
+
+            # The narrow-block rescue is hardware-validated at ONE grid
+            # block (B=128, single-buffered windows, 2026-08-20); with
+            # several blocks Pallas double-buffers the windows, which
+            # may put arena+windows back over the 128 MiB physical VMEM.
+            warnings.warn(
+                f"narrow-block mega-kernel at {nblk} grid blocks "
+                f"({B0} worlds): double-buffered windows are unvalidated "
+                "on hardware for this model class — if the compile OOMs, "
+                "split the rollout into <= 1024-world calls.",
+                stacklevel=2,
+            )
         # Worlds pack as (block, sublane, lane): each per-world value is a
         # (sublanes, LANE) tile inside the kernel — full VPU vregs at 8,
         # fewer for big models whose Mosaic stack would blow scoped VMEM.

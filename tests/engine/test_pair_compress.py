@@ -132,10 +132,14 @@ def test_kernel_gate_matches_engine_semantics():
     mf, _ = _two_fly_world(dz=2.0, compress=False).compile()
     assert not ms.megastep_supported(mf)
     assert mc.pair_compress
-    # Fused alone would gate; the stream estimate fits; rescue takes it.
+    # Fused alone would gate; streaming only fits at the NARROW 4-sublane
+    # block (hardware-validated 2026-08-20: 131.89 MiB at 8 sublanes,
+    # compiled+ran at 4); the rescue takes stream + narrow.
     assert ms._est_scoped_mb(mc) > ms._VMEM_GATE_MB
-    assert ms._est_stream_mb(mc) <= ms._VMEM_GATE_MB
+    assert ms._est_stream_mb(mc) > ms._VMEM_GATE_MB  # 8 sublanes: too big
+    assert ms._est_stream_mb(mc, sublanes=4) <= ms._VMEM_GATE_MB
     assert ms._stream_mode(mc)
+    assert ms._kernel_sublanes(mc) == 4
     assert ms.megastep_supported(mc)
     # Forcing fused restores the round-4 gating semantics.
     import os
