@@ -2730,18 +2730,19 @@ def make_megastep(model, interpret: bool = False, jit: bool = True,
         packed, B0 = _pad_lanes(packed, block)
         bp = packed.shape[1]
         nblk = bp // block
-        if nblk > 1 and sublanes < SUBLANES:
+        if nblk > 2 and sublanes < SUBLANES:
             import warnings
 
-            # The narrow-block rescue is hardware-validated at ONE grid
-            # block (B=128, single-buffered windows, 2026-08-20); with
-            # several blocks Pallas double-buffers the windows, which
-            # may put arena+windows back over the 128 MiB physical VMEM.
+            # The narrow-block rescue is hardware-validated at 1 grid
+            # block (55x55 two-fly, B=128, single-buffered windows) and
+            # at 2 blocks (3-fly 147-pair, 1024 worlds, double-buffered
+            # — both 2026-08-20). Beyond that the window residency is
+            # the same 2x, but the model class is unmeasured.
             warnings.warn(
                 f"narrow-block mega-kernel at {nblk} grid blocks "
-                f"({B0} worlds): double-buffered windows are unvalidated "
-                "on hardware for this model class — if the compile OOMs, "
-                "split the rollout into <= 1024-world calls.",
+                f"({B0} worlds): validated on hardware up to 2 blocks — "
+                "if the compile OOMs, split the rollout into smaller "
+                "world chunks.",
                 stacklevel=2,
             )
         # Worlds pack as (block, sublane, lane): each per-world value is a

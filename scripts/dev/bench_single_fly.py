@@ -139,6 +139,16 @@ def bench_step_render(n_steps, vision_every=20, trim=False):
     cs0 = cpg.init_state(0)
     st, cs, vis = episode(sim.state, cs0)
     sync(st.qpos)
+    if "--trace" in sys.argv:
+        # SURVEY §5 "JAX profiler hooks": capture a device trace of one
+        # timed episode and print where step+render time goes (kernel vs
+        # retina vs dispatch) — the wall-clock counters cannot see
+        # inside the fused scan.
+        from flygym_tpu.utils.profiling import trace
+
+        with trace("/tmp/flygym_tpu_trace_sf"):
+            st2, cs2, vis2 = episode(st, cs)
+            sync(st2.qpos)
     t0 = time.perf_counter()
     st, cs, vis = episode(st, cs)
     sync(st.qpos)
@@ -158,7 +168,7 @@ def bench_step_render(n_steps, vision_every=20, trim=False):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--trim"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     trim = "--trim" in sys.argv[1:]
     n_steps = int(args[0]) if args else 4000
     k_sweep = [int(x) for x in args[1:]] or [8, 16, 32, 64]

@@ -1,12 +1,12 @@
 """Three-fly all-pairs bench: N>2 flies through the batched rollout.
 
-The 3-fly 147-pair compressed config (21 winner groups) estimates
-132.2 MiB streaming (2026-08-20) — 8 MiB over the kernel's VMEM gate —
-so it rides the vmapped jnp path with the auto-split fence
-(FLYGYM_TPU_FALLBACK_MAX_WORLDS, default 1024). This bench records that
-path's throughput at the fence's chunk size, giving the N>=3 capability a
-measured number (reference capability: unbounded ``add_fly``,
-flygym ``compose/world.py:95-149``).
+The 3-fly 147-pair compressed config (21 winner groups) rides the
+MEGA-KERNEL via the narrow-block streaming rescue (2026-08-20: the
+4-sublane stream estimate fits the VMEM gate; measured 1.36M
+world-steps/s at 1024 worlds = 2 narrow grid blocks, which also
+hardware-validated the double-buffered narrow-window case). Reference
+capability being measured: unbounded ``add_fly``, flygym
+``compose/world.py:95-149``.
 
 Usage: python scripts/dev/bench_threefly.py [n_worlds=1024] [n_steps=500]
 """
@@ -67,7 +67,8 @@ def main():
         f"3 flies, {n} pairs, {len(model.pair_groups)} groups: "
         f"fused={ms._est_scoped_mb(model):.1f} "
         f"stream={ms._est_stream_mb(model):.1f} MiB "
-        f"supported={ms.megastep_supported(model)} (jnp path expected)",
+        f"supported={ms.megastep_supported(model)} "
+        f"sublanes={ms._kernel_sublanes(model)}",
         flush=True,
     )
 

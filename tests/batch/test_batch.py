@@ -189,7 +189,7 @@ class TestBatchedRollout:
         monkeypatch.setattr(
             ms,
             "_est_scoped_mb",
-            lambda model, h0_matvec=None, k_steps=1: (
+            lambda model, h0_matvec=None, k_steps=1, sublanes=8: (
                 ms._VMEM_GATE_MB - 1.0
                 if k_steps <= 3
                 else ms._VMEM_GATE_MB + 1.0
@@ -204,7 +204,7 @@ class TestBatchedRollout:
         monkeypatch.setattr(
             ms,
             "_est_scoped_mb",
-            lambda model, h0_matvec=None, k_steps=1: (
+            lambda model, h0_matvec=None, k_steps=1, sublanes=8: (
                 ms._VMEM_GATE_MB + (1.0 if k_steps > 1 else -1.0)
             ),
         )
