@@ -382,31 +382,29 @@ class TestCompressedPairsOnTPU:
         bstate, _ = rollout_batched(model, bstate, nan_ctrl, 1500)
         mega = make_megastep(model)
 
-        # PRIMARY: kernel vs the eager emitter fed the SAME winner
-        # indices — isolates Mosaic lowering from winner-selection
-        # timing; must agree to fp-reassociation scale. The winners are
-        # sampled ONCE and fed to BOTH sides (expand_winners ->
-        # terrain_planes): separate XLA compilations of the argmin can
-        # break a symmetric resting-stack tie differently at fp-
-        # reassociation scale (measured 2026-08-20), which is winner-
-        # selection timing, not kernel fidelity.
+        # PRIMARY: kernel vs the ENGINE step fed the SAME winner indices
+        # (step(..., widx=...)) — isolates Mosaic lowering from winner-
+        # selection timing. The winners are sampled ONCE and fed to BOTH
+        # sides (expand_winners -> terrain_planes): separate XLA
+        # compilations of the argmin can break a symmetric resting-stack
+        # tie differently at fp-reassociation scale (measured
+        # 2026-08-20). NOTE: jitting the eager EMITTER as the reference
+        # is not viable on hardware — its ~1e5-op XLA graph SIGKILLs the
+        # remote tpu_compile_helper (measured twice, 2026-08-20); the
+        # pinned-winner engine step compiles the same graph class the
+        # settle already used.
         from flygym_tpu.engine.contact import make_pair_winner_sampler
-        from flygym_tpu.ops import megastep as ms
 
         widx_b = make_pair_winner_sampler(model)(bstate.xpos, bstate.xquat)
         got = mega(bstate, terrain_planes=mega.expand_winners(widx_b))
         got_q = np.asarray(got.qpos)
-        widx = [widx_b[:, g] for g in range(widx_b.shape[1])]
-        cols = lambda x: [x[:, i] for i in range(x.shape[1])]
-        st = ms._Static(model)
 
         @jax.jit
         def emit_ref(s):
-            r = ms.emit_step(
-                st, cols(s.qpos), cols(s.qvel), cols(s.ctrl),
-                cols(s.act), cols(s.qacc), None, widx,
-            )
-            return jnp.stack(r["qpos"], -1), jnp.stack(r["qvel"], -1)
+            out = jax.vmap(
+                lambda sw, w: step(model, sw, widx=w), in_axes=(0, 0)
+            )(s, widx_b)
+            return out.qpos, out.qvel
 
         eq, ev = emit_ref(bstate)
         g = float(np.abs(np.asarray(model.gravity)).max())
