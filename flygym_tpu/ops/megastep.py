@@ -509,14 +509,15 @@ def _est_kernel_mb(model, k_steps: int = 1) -> float:
     (megastep_supported), the rollout K clamp (_get_megastep_k) and the
     per-kernel vmem_limit_bytes all agree.
 
-    The K>1 term for pair-group kernels is calibrated on the 2026-08-20
-    OOM dump: the two-fly 49-pair kernel at K=4 measured 147.40 MiB
-    against a 122.9 estimate (+24.5 over three fused steps — the
-    fori-loop carry interacts with the pair rows' two-body live set
-    nonlinearly in Mosaic's allocator). With a single calibration point
-    the per-step term carries a 1.5x safety factor (12.2 = 24.5/3 *
-    1.5), which clamps pair-group rollouts to K=1 until a second point
-    exists."""
+    The K>1 term for pair-group kernels is calibrated on two 2026-08-20
+    hardware points: the two-fly 49-pair kernel at K=4 OOM'd at
+    147.40 MiB against a 122.9 estimate (+24.5 over three fused steps —
+    the fori-loop carry interacts with the pair rows' two-body live set
+    nonlinearly in Mosaic's allocator), while K=2 COMPILED AND RAN at
+    4096 worlds (scripts/dev/probe_k2_pair.py: excess <= ~4 MiB for the
+    one extra step — the growth is superlinear in K). The linear
+    12.2/(K-1) term brackets both: it admits K=2 (measured good) and
+    rejects K>=3 (unmeasured, trending toward the K=4 blowup)."""
     return _est_kernel_mb_at(model, k_steps, _kernel_sublanes(model, k_steps))
 
 

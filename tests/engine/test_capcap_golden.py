@@ -374,3 +374,86 @@ class TestTwoFlyDropGolden:
         assert abs(me[-1, 5] - mj[-1, 5]) < env_final
         # Fly a still grounded at a normal standing height in both.
         assert 0.6 < me[-1, 2] < 1.0 and 0.6 < mj[-1, 2] < 1.0
+
+
+class TestStackedRingGolden:
+    """The settled two-fly stack sustains a contact RING in BOTH engines.
+
+    Round-5 finding (2026-08-20): a fly resting on another never becomes
+    quiescent under stiff solref contacts — it sustains a mm/s-scale
+    oscillation. Measured over a 4000-step settle of the 49-pair config:
+    MuJoCo max|qvel| = 1.86 mm/s, this engine = 1.44 mm/s. The ring is
+    REFERENCE behavior (the same marginal stability, same magnitude
+    class), not a solver deficiency here — and it is why one-step
+    kernel-vs-engine comparisons at this state must be gated on the
+    state's conditioning (Lipschitz ~4e4 in qvel; see
+    tests/tpu/test_megastep_tpu.py and ROADMAP).
+    Reference chain: flygym ``simulation.py:76`` -> ``mj_step``.
+    """
+
+    @pytest.mark.slow
+    def test_both_engines_sustain_same_order_ring(self):
+        from flygym_tpu.anatomy import (
+            ALL_SEGMENT_NAMES,
+            AxisOrder,
+            BodySegment,
+            JointPreset,
+            Skeleton,
+        )
+        from flygym_tpu.compose import (
+            Fly,
+            FlatGroundWorld,
+            KinematicPosePreset,
+        )
+        from flygym_tpu.utils.math import Rotation3D
+
+        def mkfly(name):
+            fly = Fly(name=name)
+            fly.add_joints(
+                Skeleton(
+                    axis_order=AxisOrder.YPR,
+                    joint_preset=JointPreset.LEGS_ONLY,
+                ),
+                neutral_pose=KinematicPosePreset.NEUTRAL,
+            )
+            return fly
+
+        world = FlatGroundWorld()
+        world.add_fly(
+            mkfly("a"), (0, 0, 1.2), Rotation3D("quat", (1, 0, 0, 0))
+        )
+        world.add_fly(
+            mkfly("b"), (0, 0, 3.0), Rotation3D("quat", (1, 0, 0, 0))
+        )
+        segs = ["c_thorax"] + [
+            n for n in ALL_SEGMENT_NAMES if n.endswith("tarsus5")
+        ]
+        world.add_fly_fly_contacts(
+            "a", "b", bodysegs=[BodySegment(s) for s in segs]
+        )
+        model, state = world.compile()
+
+        m = mujoco.MjModel.from_xml_string(world.spec.to_mjcf_xml())
+        d = mujoco.MjData(m)
+        mujoco.mj_resetDataKeyframe(m, d, 0)
+        for _ in range(4000):
+            mujoco.mj_step(m, d)
+        mj_ring = float(np.abs(d.qvel).max())
+
+        jstep = jax.jit(lambda s: step(model, s))
+        for _ in range(4000):
+            state = jstep(state)
+        me_ring = float(np.abs(np.asarray(state.qvel)).max())
+
+        # Both engines ring at mm/s scale (neither is quiescent, neither
+        # is unstable), within 3x of each other.
+        assert 0.3 < mj_ring < 6.0, mj_ring
+        assert 0.3 < me_ring < 6.0, me_ring
+        assert me_ring < 3.0 * mj_ring and mj_ring < 3.0 * me_ring, (
+            me_ring,
+            mj_ring,
+        )
+        # Both piles supported (fly b resting on a, above its body height).
+        nq1 = model.free_joints[1][1]
+        assert d.qpos[nq1 + 2] > 1.0, d.qpos[nq1 + 2]
+        assert float(state.qpos[nq1 + 2]) > 1.0, state.qpos[nq1 + 2]
