@@ -4,8 +4,11 @@ Multi-fly worlds: two flies share one world and collide through explicit
 capsule-capsule contact pairs (``World.add_fly_fly_contacts``, the analog of
 the reference's multi-fly explicit-pair contact machinery, flygym
 ``world.py:95-149``). One fly is dropped onto the other; the stack settles
-with the upper fly resting on the lower one's back. With a narrow pair set
-the whole scene still rides the Pallas mega-step kernel on TPU.
+with the upper fly resting on the lower one's back. As of 2026-08-20 EVERY
+fly-fly preset rides the Pallas mega-step kernel on TPU — including the
+full 55x55 set (streaming emitter on a narrow block) — and N>2 flies
+compose via ``World.add_all_fly_fly_contacts`` (all unordered pairs; see
+``scripts/dev/bench_threefly.py``: 3 flies at 1.36M world-steps/s).
 
 Run:  python examples/11_two_flies_interacting.py [n_worlds]
 """
